@@ -1,0 +1,160 @@
+"""Injection-aware attention: FSAI/TSG/FGATS as first-class functional config.
+
+The reference implements its plug-and-play mechanisms by monkey-patching
+``CrossAttention.forward`` on selected UNet blocks per sampling step
+(`/root/reference/REFace/ldm/models/pnp_utils.py:57-339`). That is hostile to
+XLA (stateful module mutation, per-step re-registration). Here the same math
+is a *pure function* over the projected q/k/v, parameterised by a hashable
+:class:`FusionConfig` that the UNet threads to its attn1 sites. Under ``jit``
+each distinct config traces once; the active VFace schedule uses a single
+config for all 50 steps (input-block attn1 = ``flow_fix``, everything else
+off — ddim_w_inv.py:300-308).
+
+Batch layout: frames are the batch dim; with guidance the leading axis is
+``chunks * F`` with chunk order **[uncond, cond(swap), recon]** — the runtime
+order of ddim_w_inv.py:654-662 (the donor for fusion is chunk 0, which holds
+the *same latent* as the swap chunk but the unconditional embedding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vface_tpu.ops import fusion as F
+from vface_tpu.ops import warp as W
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Static description of one attn1 injection site's fusion.
+
+    mode:
+      'none'       — vanilla self-attention.
+      'replace'    — copy donor q/k into both other chunks (pnp_utils.py:133-143).
+      'temporal'   — Gaussian frame window of donor q/k (pnp_utils.py:145-154).
+      'adain'      — AdaIN(donor, branch) per chunk (pnp_utils.py:155-160).
+      'mix'        — 0.5/0.5 blend (pnp_utils.py:161-166).
+      'fft'        — FSAI: low-freq bins from branch, high from donor
+                     (pnp_utils.py:169-183).
+      'flow_fix'   — FSAI + FGATS flow warp of the swap chunk's q/k at
+                     64x64-token layers (pnp_utils.py:185-234).
+      'fft_vfixed' — FSAI + pin v across frames per chunk (pnp_utils.py:238-257).
+    """
+
+    mode: str = "none"
+    split_ratio: float = 0.8
+    flow_alpha: float = 0.8
+    mix_alpha: float = 0.5
+    adain_alpha: float = 0.9
+    temporal_window: int = 5
+    temporal_sigma: float = 1.0
+    flow_tokens: int = 4096  # flow warp applies only where N == flow_tokens
+    use_circulant: bool = True  # MXU circulant path for the FFT split
+
+    @property
+    def active(self) -> bool:
+        return self.mode != "none"
+
+
+def _fft_combine(donor, branch, cfg: FusionConfig):
+    fn = (
+        F.combine_fft_high_low_circulant if cfg.use_circulant else F.combine_fft_high_low
+    )
+    return fn(donor, branch, cfg.split_ratio)
+
+
+def fuse_qkv(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cfg: FusionConfig,
+    chunks: int = 3,
+    flow: Optional[jax.Array] = None,
+):
+    """Apply the configured cross-chunk fusion to projected q/k/v (B, N, D).
+
+    B = chunks * F. Returns (q, k, v) with the same shapes/dtype family
+    (fusion math in float32, like the reference's .float() casts).
+    """
+    if not cfg.active:
+        return q, k, v
+    b, n, d = q.shape
+    f = b // chunks
+    qc = q.reshape(chunks, f, n, d)
+    kc = k.reshape(chunks, f, n, d)
+
+    def per_branch(op):
+        """new chunk_i = op(donor=chunk0, branch=chunk_i) for i >= 1."""
+        new_q = [qc[0]] + [op(qc[0], qc[i]) for i in range(1, chunks)]
+        new_k = [kc[0]] + [op(kc[0], kc[i]) for i in range(1, chunks)]
+        return jnp.stack(new_q), jnp.stack(new_k)
+
+    if cfg.mode == "replace":
+        qn = jnp.broadcast_to(qc[:1], qc.shape)
+        kn = jnp.broadcast_to(kc[:1], kc.shape)
+    elif cfg.mode == "temporal":
+        tq = F.temporal_gaussian(qc[0], cfg.temporal_window, cfg.temporal_sigma)
+        tk = F.temporal_gaussian(kc[0], cfg.temporal_window, cfg.temporal_sigma)
+        qn = jnp.stack([qc[0]] + [tq] * (chunks - 1))
+        kn = jnp.stack([kc[0]] + [tk] * (chunks - 1))
+    elif cfg.mode == "adain":
+        op = lambda d0, br: F.adain_fusion_attn(d0, br, alpha=cfg.adain_alpha)
+        qn, kn = per_branch(op)
+    elif cfg.mode == "mix":
+        op = lambda d0, br: F.mix(d0, br, alpha=cfg.mix_alpha)
+        qn, kn = per_branch(op)
+    elif cfg.mode in ("fft", "flow_fix", "fft_vfixed"):
+        op = lambda d0, br: _fft_combine(d0, br, cfg)
+        qn, kn = per_branch(op)
+        if cfg.mode == "flow_fix" and flow is not None and n == cfg.flow_tokens:
+            side = int(round(n**0.5))
+            # FGATS: warp only the swap chunk (index 1) across frames.
+            q_sw = qn[1].reshape(f, side, side, d)
+            k_sw = kn[1].reshape(f, side, side, d)
+            q_sw = W.align_by_flow(q_sw, flow, cfg.flow_alpha).reshape(f, n, d)
+            k_sw = W.align_by_flow(k_sw, flow, cfg.flow_alpha).reshape(f, n, d)
+            qn = qn.at[1].set(q_sw)
+            kn = kn.at[1].set(k_sw)
+        if cfg.mode == "fft_vfixed":
+            vc = v.reshape(chunks, f, n, d)
+            pin = lambda ch: jnp.broadcast_to(ch[:1], ch.shape)
+            vn = jnp.stack([vc[0]] + [pin(vc[i]) for i in range(1, chunks)])
+            v = vn.reshape(b, n, d).astype(v.dtype)
+    else:
+        raise ValueError(f"unknown fusion mode {cfg.mode!r}")
+
+    if chunks == 2 and cfg.mode != "none":
+        # 2-chunk semantics (pnp_utils.py:259-266): plain donor copy.
+        qn = jnp.broadcast_to(qc[:1], qc.shape)
+        kn = jnp.broadcast_to(kc[:1], kc.shape)
+
+    q = qn.reshape(b, n, d).astype(q.dtype)
+    k = kn.reshape(b, n, d).astype(k.dtype)
+    return q, k, v
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, dtype=jnp.float32
+):
+    """Standard softmax attention over (B, N, D) with D = num_heads * d_head.
+
+    Expressed as batched einsums; XLA fuses scale+softmax and tiles the matmuls
+    onto the MXU. The softmax runs in float32 for stability regardless of the
+    compute dtype.
+    """
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    qh = q.reshape(b, nq, h, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, h, dh).transpose(0, 2, 1, 3)
+    sim = jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(sim.astype(jnp.float32) * scale, axis=-1).astype(dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, vh, preferred_element_type=jnp.float32)
+    return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, nq, d)

@@ -1,0 +1,113 @@
+"""Flow warping (FGATS) — bilinear grid sampling and frame alignment, NHWC.
+
+Re-derivation of `/root/reference/REFace/scripts/temporal_flow.py:40-53,223-237`:
+
+* ``grid_sample``   — torch.nn.functional.grid_sample(align_corners=True,
+  padding_mode='border') semantics, NHWC, fully vectorised gathers.
+* ``warp_by_flow``  — sample `img` at (grid + flow); flow in *pixel* units with
+  channels (dx, dy), so warp_by_flow(frame_i, flow_i→) realigns frame i to
+  frame i+1's geometry.
+* ``align_by_flow`` — the FGATS blend. NOTE: the reference's active path
+  (temporal_flow.py:223-237) blends each frame with the warp of the *original*
+  previous frame (``x_prev`` is never written in the loop), i.e. it is NOT a
+  recurrence:  out[i+1] = alpha * x[i+1] + (1-alpha) * warp(x[i], flow[i]),
+  out[0] = x[0]. That makes it embarrassingly parallel across frames — a
+  perfect fit for frames-as-batch sharding. ``align_by_flow_chain`` provides
+  the recurrent variant (used by batch_flow_align, temporal_flow.py:116-161)
+  via lax.scan for completeness.
+
+Flow resolution: the reference computes RAFT flow at 512² and hands it
+unscaled to 64×64 q/k warps (the 64-res resize at
+`scripts/VFace_inference_batch.py:556` is commented out, which would fault at
+runtime in torch). We define the contract properly: ``resize_flow`` rescales a
+flow field to the target grid *and* rescales its displacement magnitudes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """Bilinear sample `img` (B, H, W, C) at absolute pixel coords (B, Ho, Wo, 2).
+
+    coords[..., 0] = x (width index), coords[..., 1] = y (height index);
+    align_corners=True + border clamping (matches the reference's grid_sample
+    call after unnormalising its [-1, 1] grid).
+    """
+    b, h, w, c = img.shape
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def gather(yi, xi):
+        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        # flatten spatial dims for a single take_along_axis gather
+        flat = img.reshape(b, h * w, c)
+        idx = (yi * w + xi).reshape(b, -1, 1)
+        out = jnp.take_along_axis(flat, idx, axis=1)
+        return out.reshape(yi.shape + (c,))
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).astype(img.dtype)
+
+
+def warp_by_flow(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Warp `img` (B, H, W, C) by `flow` (B, H, W, 2) in pixel units (dx, dy)."""
+    b, h, w, _ = flow.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    base = jnp.stack([xs, ys], axis=-1)[None]  # (1, H, W, 2)
+    return grid_sample(img, base + flow)
+
+
+def resize_flow(flow: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinearly resize a flow field and rescale displacement magnitudes."""
+    b, h, w, _ = flow.shape
+    out = jax.image.resize(flow, (b, height, width, 2), method="bilinear")
+    scale = jnp.asarray([width / w, height / h], dtype=flow.dtype)
+    return out * scale
+
+
+def align_by_flow(x: jax.Array, flow: jax.Array, alpha: float = 0.8) -> jax.Array:
+    """FGATS parallel alignment over the frame (batch) axis.
+
+    x: (F, H, W, C) frames; flow: (F-1, H, W, 2) with flow[i] mapping frame
+    i+1 pixels back to frame i. Returns out with out[0] = x[0] and
+    out[i+1] = alpha * x[i+1] + (1-alpha) * warp(x[i], flow[i]).
+    """
+    warped_prev = warp_by_flow(x[:-1], flow)  # (F-1, H, W, C)
+    blended = alpha * x[1:] + (1.0 - alpha) * warped_prev
+    return jnp.concatenate([x[:1], blended.astype(x.dtype)], axis=0)
+
+
+def align_by_flow_chain(x: jax.Array, flow: jax.Array, alpha: float = 0.5) -> jax.Array:
+    """Recurrent variant: out[i+1] = alpha*x[i+1] + (1-alpha)*warp(out[i], flow[i]).
+
+    Sequential over frames (window <= 8 in practice) via lax.scan; mirrors the
+    in-place update chain of batch_flow_align (temporal_flow.py:131-145).
+    """
+
+    def step(prev, inp):
+        xi, fi = inp
+        warped = warp_by_flow(prev[None], fi[None])[0]
+        out = alpha * xi + (1.0 - alpha) * warped
+        return out, out
+
+    _, rest = jax.lax.scan(step, x[0], (x[1:], flow))
+    return jnp.concatenate([x[:1], rest], axis=0)
