@@ -1,20 +1,27 @@
-"""Test harness config: force an 8-device virtual CPU mesh before JAX imports.
+"""Test harness config: force an 8-device virtual CPU mesh.
 
-Multi-chip sharding is validated on virtual CPU devices exactly as the driver's
-dryrun does (no TPU needed to run the suite).
+Multi-chip sharding is validated on virtual CPU devices exactly as the
+driver's dryrun does (no TPU needed to run the suite).
+
+The session's sitecustomize registers the tunneled-TPU ("axon") PJRT plugin
+at interpreter startup and selects it via ``jax_platforms`` — plain
+``JAX_PLATFORMS=cpu`` in the environment is overridden by that registration,
+so we must reset the *config value* after jax is imported.
 """
 
 import os
 
-# Hard-set (the session env pins JAX_PLATFORMS=axon for the tunneled TPU chip;
-# the unit suite must run on virtual CPU devices).
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,57 @@
+"""End-to-end flagship flow: tiny video swap through the public pipeline API.
+
+Exercises align → parse → conditioning → co-inversion → 3-chunk hooked
+sampling (FSAI+FGATS) → decode → background trick → paste-back, plus the
+short-window and flow=None edge paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vface_tpu.models import ModelConfig, VFaceModel
+from vface_tpu.models.raft import RAFT, RAFTConfig
+from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = VFaceModel(ModelConfig.tiny(image_size=32))
+    params = model.init(jax.random.PRNGKey(0))
+    opts = SwapOptions(
+        ddim_steps=2, inversion_steps=2, window=3, image_size=32, parser_size=64
+    )
+    pipe = VideoSwapPipeline(model, opts)
+    pipe.raft = RAFT(RAFTConfig(iters=2))
+    rng = jax.random.PRNGKey(1)
+    aux_params = {
+        "bisenet": pipe.bisenet.init(rng, jnp.zeros((1, 64, 64, 3)))["params"],
+        "raft": pipe.raft.init(
+            rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+        )["params"],
+        "landmark": pipe.landmark_net.init(rng, jnp.zeros((1, 32, 32, 3)))["params"],
+    }
+    return pipe, params, aux_params
+
+
+def test_video_swap_end_to_end(pipeline):
+    """4 frames, window 3 → one full window + one short window (flow of len 0
+    handled), output full frames in [0,1]."""
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(0).uniform(0, 1, (4, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(1).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    out = pipe.swap_video_frames(params, aux_params, frames, source)
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_single_frame_video(pipeline):
+    """A 1-frame video takes the flow=None path."""
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(2).uniform(0, 1, (1, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(3).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    out = pipe.swap_video_frames(params, aux_params, frames, source)
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()

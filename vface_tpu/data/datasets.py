@@ -1,0 +1,202 @@
+"""Datasets — host-side loaders producing numpy batches (no torch DataLoader).
+
+Capability parity with `/root/reference/REFace/ldm/data/`:
+
+* :class:`VideoFramesDataset` — the inference-time dataset over precomputed
+  cropped frames + parsing masks (`video_swap_dataset.py:86-409`): returns
+  (image, prior_image, inpaint_image, inpaint_mask, frame_id) per frame with
+  frames indexed ``0.png…N.png``, sequential order, inpaint = image ×
+  (1 − face-region mask).
+* :class:`CelebATrainDataset` — self-supervised inpainting pairs
+  (`celebA.py:339-747`): GT image, preserve-list mask from ``Overall_mask``,
+  TPS-deformed mask (the ``decow`` aug, celebA.py:83-135), reference = masked
+  GT with flip/rotate/resize augs; 28000 train / 2000 val split (:377-390).
+* :func:`test_bench_pairs` — fixed src/target pairing of the image benchmark
+  (`test_bench_dataset.py:130,460,651` — CelebA ids 28000–30000, FFHQ, FF++).
+
+Design: pure-python + numpy + PIL; each dataset yields ready-to-device numpy
+dicts so the training/inference loops can double-buffer host→HBM transfers.
+Augmentations that the reference runs via albumentations are expressed as
+numpy/PIL ops with the same parameter ranges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _load_image(path: str, size: Optional[int] = None) -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _load_mask(path: str, size: Optional[int] = None) -> np.ndarray:
+    img = Image.open(path)
+    if size is not None:
+        img = img.resize((size, size), Image.NEAREST)
+    return np.asarray(img).astype(np.int32)
+
+
+def normalize_img(x01: np.ndarray) -> np.ndarray:
+    """[0,1] → [-1,1] (the reference's get_tensor Normalize(0.5, 0.5))."""
+    return x01 * 2.0 - 1.0
+
+
+@dataclasses.dataclass
+class VideoFramesDataset:
+    """Sequential frames `0.png…N.png` + masks; batches of `window` frames."""
+
+    frames_dir: str
+    masks_dir: Optional[str] = None
+    image_size: int = 512
+    window: int = 6
+    remove_classes: Sequence[int] = (1, 2, 4, 5, 8, 9, 6, 7, 10, 11, 12, 17)
+
+    def __len__(self) -> int:
+        return len([f for f in os.listdir(self.frames_dir) if f.endswith(".png")])
+
+    def frame_path(self, i: int) -> str:
+        return os.path.join(self.frames_dir, f"{i}.png")
+
+    def __iter__(self) -> Iterator[dict]:
+        from vface_tpu.preprocess.masks import region_mask
+        import jax.numpy as jnp
+
+        n = len(self)
+        for s0 in range(0, n, self.window):
+            idx = list(range(s0, min(s0 + self.window, n)))
+            imgs = np.stack([_load_image(self.frame_path(i), self.image_size) for i in idx])
+            batch = {
+                "image": normalize_img(imgs),
+                "prior": normalize_img(imgs),  # prior == frame unless a DIFT prior dir is supplied
+                "frame_ids": np.asarray(idx, np.int32),
+            }
+            if self.masks_dir is not None:
+                masks = np.stack(
+                    [
+                        _load_mask(os.path.join(self.masks_dir, f"{i}.png"), self.image_size)
+                        for i in idx
+                    ]
+                )
+                face = np.asarray(region_mask(jnp.asarray(masks), self.remove_classes))
+                keep = (1.0 - face)[..., None].astype(np.float32)
+                batch["inpaint_mask"] = keep
+                batch["inpaint_image"] = batch["image"] * keep
+            yield batch
+
+
+@dataclasses.dataclass
+class CelebATrainDataset:
+    """Self-supervised inpainting pairs from CelebAMask-HQ.
+
+    dataset_dir layout (the reference's):
+      CelebA-HQ-img/{i}.jpg, Overall_mask/{i}.png
+    """
+
+    dataset_dir: str
+    image_size: int = 512
+    split: str = "train"  # train: ids [0, 28000); val: [28000, 30000)
+    remove_classes: Sequence[int] = (1, 2, 4, 5, 8, 9, 6, 7, 10, 11, 12, 17)
+    arbitrary_mask_percent: float = 0.5
+    seed: int = 0
+
+    def __post_init__(self):
+        lo, hi = (0, 28000) if self.split == "train" else (28000, 30000)
+        img_dir = os.path.join(self.dataset_dir, "CelebA-HQ-img")
+        ids = []
+        if os.path.isdir(img_dir):
+            for i in range(lo, hi):
+                if os.path.exists(os.path.join(img_dir, f"{i}.jpg")):
+                    ids.append(i)
+        self.ids: List[int] = ids
+        self._rng = np.random.default_rng(self.seed)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _augment_reference(self, ref01: np.ndarray) -> np.ndarray:
+        """Resize/flip/rotate jitter of the masked reference (celebA.py:349-359)."""
+        img = Image.fromarray((ref01 * 255).astype(np.uint8))
+        if self._rng.uniform() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        angle = float(self._rng.uniform(-30, 30))
+        img = img.rotate(angle, resample=Image.BILINEAR)
+        img = img.resize((224, 224), Image.BILINEAR)
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    def __getitem__(self, k: int) -> dict:
+        from vface_tpu.preprocess.masks import region_mask
+        import jax.numpy as jnp
+
+        i = self.ids[k]
+        img01 = _load_image(
+            os.path.join(self.dataset_dir, "CelebA-HQ-img", f"{i}.jpg"), self.image_size
+        )
+        mask = _load_mask(
+            os.path.join(self.dataset_dir, "Overall_mask", f"{i}.png"), self.image_size
+        )
+        face = np.asarray(region_mask(jnp.asarray(mask[None]), self.remove_classes))[0]
+        keep = (1.0 - face)[..., None].astype(np.float32)
+        if self._rng.uniform() < self.arbitrary_mask_percent:
+            keep = self._decow(keep)
+        gt = normalize_img(img01)
+        ref = self._augment_reference(img01 * (1.0 - keep[..., 0])[..., None])
+        return {
+            "gt_image": gt.astype(np.float32),
+            "inpaint": (gt * keep).astype(np.float32),
+            "mask": keep,
+            "ref_image01": ref,
+        }
+
+    def _decow(self, keep: np.ndarray) -> np.ndarray:
+        """TPS deformation of the mask (celebA.py:83-135 'decow')."""
+        import jax.numpy as jnp
+
+        from vface_tpu.preprocess.tps import tps_warp
+
+        n_pts = 5
+        src = self._rng.uniform(-0.8, 0.8, (1, n_pts, 2)).astype(np.float32)
+        dst = src + self._rng.uniform(-0.15, 0.15, (1, n_pts, 2)).astype(np.float32)
+        warped = tps_warp(jnp.asarray(keep[None]), jnp.asarray(src), jnp.asarray(dst))
+        return np.asarray((np.asarray(warped)[0] > 0.5).astype(np.float32))
+
+    def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[dict]:
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(k)] for k in order[s : s + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def test_bench_pairs(
+    src_dir: str, tar_dir: str, mask_dir: Optional[str] = None, image_size: int = 512
+) -> Iterator[dict]:
+    """Fixed src↔target pairs of the image benchmark (test_bench_dataset.py).
+
+    Pairs files by sorted order, as the bench datasets pair id lists.
+    """
+    srcs = sorted(os.listdir(src_dir))
+    tars = sorted(os.listdir(tar_dir))
+    for s, t in zip(srcs, tars):
+        item = {
+            "source": normalize_img(_load_image(os.path.join(src_dir, s), image_size)),
+            "target": normalize_img(_load_image(os.path.join(tar_dir, t), image_size)),
+            "name": os.path.splitext(t)[0],
+        }
+        if mask_dir is not None:
+            item["mask"] = _load_mask(
+                os.path.join(mask_dir, os.path.splitext(t)[0] + ".png"), image_size
+            )
+        yield item

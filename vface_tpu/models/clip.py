@@ -1,0 +1,171 @@
+"""CLIP ViT-L/14 vision tower + the REFace conditioning mapper, in Flax.
+
+Capability parity with the reference's active conditioning encoder
+(`/root/reference/REFace/ldm/modules/encoders/modules.py:211-261`
+``FrozenCLIPEmbedder``): HF ``CLIPModel.vision_model`` pooled output →
+``visual_projection`` (1024→768) → a trainable 5-layer width-768 single-head
+transformer ``mapper2`` (`ldm/modules/encoders/xf.py:104-130`) → ``final_ln2``.
+Output: one 768-d conditioning token per image.
+
+TPU notes: quick-GELU (x·sigmoid(1.702x)) matches HF CLIP's activation; all
+attention/matmuls run in the configured compute dtype with fp32 layernorms.
+Weights convert from the HF checkpoint via ``vface_tpu.utils.torch_convert``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vface_tpu.models.layers import LayerNormF32
+from vface_tpu.ops.attention import multi_head_attention
+
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: int = 4
+    projection_dim: int = 768
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def vit_l_14(cls, dtype=jnp.bfloat16):
+        return cls(dtype=dtype)
+
+    @classmethod
+    def tiny(cls):
+        return cls(image_size=32, patch_size=8, width=64, layers=2, heads=4, projection_dim=64)
+
+
+class MHA(nn.Module):
+    """Standard multi-head attention with fused in/out projections."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = nn.Dense
+        q = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="q")(x)
+        k = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
+        v = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="v")(x)
+        o = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
+        return d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
+
+
+class EncoderLayer(nn.Module):
+    width: int
+    heads: int
+    mlp_ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = LayerNormF32(dtype=self.dtype, name="ln1")(x)
+        x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(h)
+        h = LayerNormF32(dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(self.width * self.mlp_ratio, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+        return x + h
+
+
+class CLIPVisionTower(nn.Module):
+    """HF CLIPVisionModel semantics: returns the pooled (post-LN CLS) embedding."""
+
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+
+    @nn.compact
+    def __call__(self, pixels):
+        cfg = self.cfg
+        b = pixels.shape[0]
+        n_patches = (cfg.image_size // cfg.patch_size) ** 2
+        x = nn.Conv(
+            cfg.width,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(pixels.astype(cfg.dtype))
+        x = x.reshape(b, n_patches, cfg.width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02), (cfg.width,))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.width)), x], axis=1)
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02), (n_patches + 1, cfg.width)
+        )
+        x = x + pos.astype(cfg.dtype)[None]
+        x = LayerNormF32(dtype=cfg.dtype, name="pre_ln")(x)
+        for i in range(cfg.layers):
+            x = EncoderLayer(cfg.width, cfg.heads, cfg.mlp_ratio, dtype=cfg.dtype, name=f"layer_{i}")(x)
+        pooled = LayerNormF32(dtype=cfg.dtype, name="post_ln")(x[:, 0])
+        return pooled
+
+
+class MapperBlock(nn.Module):
+    """xf.py ResidualAttentionBlock: pre-LN attn + pre-LN 4x-GELU MLP."""
+
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = LayerNormF32(dtype=self.dtype, name="ln1")(x)
+        x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(h)
+        h = LayerNormF32(dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
+        h = jax.nn.gelu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+        return x + h
+
+
+class CLIPConditioner(nn.Module):
+    """Vision tower → visual_projection → mapper2 (5 layers) → final_ln2.
+
+    Returns (B, 1, 768): the single conditioning token the UNet cross-attends
+    to (modules.py:252-261).
+    """
+
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+    mapper_layers: int = 5
+
+    @nn.compact
+    def __call__(self, pixels):
+        cfg = self.cfg
+        pooled = CLIPVisionTower(cfg, name="vision")(pixels)
+        z = nn.Dense(
+            cfg.projection_dim, use_bias=False, dtype=cfg.dtype, param_dtype=jnp.float32,
+            name="visual_projection",
+        )(pooled)
+        z = z[:, None, :]
+        for i in range(self.mapper_layers):
+            z = MapperBlock(cfg.projection_dim, heads=1, dtype=cfg.dtype, name=f"mapper2_{i}")(z)
+        z = LayerNormF32(dtype=cfg.dtype, name="final_ln2")(z)
+        return z.astype(jnp.float32)
+
+
+def clip_preprocess(images01: jax.Array, size: int = 224) -> jax.Array:
+    """(B, H, W, 3) images in [0,1] → CLIP-normalised (B, size, size, 3)."""
+    b = images01.shape[0]
+    x = jax.image.resize(images01, (b, size, size, 3), method="bilinear")
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=x.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, dtype=x.dtype)
+    return (x - mean) / std

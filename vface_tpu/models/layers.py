@@ -1,0 +1,133 @@
+"""Shared Flax building blocks for the vface_tpu model zoo.
+
+TPU-first conventions used by every model in this package:
+
+* **NHWC layout** everywhere (XLA:TPU's native convolution layout; the
+  reference is NCHW torch — e.g. `/root/reference/REFace/ldm/modules/
+  diffusionmodules/model.py`).
+* **Params in float32, compute in a configurable dtype** (bfloat16 on TPU).
+  Normalisations and softmax always reduce in float32.
+* Convs/matmuls declare ``preferred_element_type`` implicitly through the
+  module ``dtype``; XLA tiles them onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def nonlinearity(x):
+    """SiLU / swish (reference model.py:43-45)."""
+    return jax.nn.silu(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 regardless of compute dtype.
+
+    Matches torch ``GroupNorm(32, C)`` (UNet, eps 1e-5) and the VAE's
+    ``Normalize`` (eps 1e-6) — pick via ``epsilon``.
+    """
+
+    epsilon: float = 1e-5
+    num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        y = nn.GroupNorm(
+            num_groups=min(self.num_groups, x.shape[-1]),
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv, NHWC, optional zero-init (the reference's zero_module)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = "SAME"
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(
+            self.features, kernel_init=init, dtype=self.dtype, param_dtype=jnp.float32
+        )(x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm reducing in float32."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig)
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbour 2x upsample, NHWC (reference model.py:60: F.interpolate x2)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class SelfAttention2D(nn.Module):
+    """Single-head full self-attention over H*W (VAE AttnBlock, model.py:141-184)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hidden = GroupNorm32(epsilon=1e-6, dtype=self.dtype)(x)
+        q = Conv(c, kernel=1, dtype=self.dtype, name="q")(hidden).reshape(b, h * w, c)
+        k = Conv(c, kernel=1, dtype=self.dtype, name="k")(hidden).reshape(b, h * w, c)
+        v = Conv(c, kernel=1, dtype=self.dtype, name="v")(hidden).reshape(b, h * w, c)
+        sim = jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim * (c ** -0.5), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bij,bjc->bic", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(b, h, w, c)
+        out = Conv(c, kernel=1, dtype=self.dtype, name="proj_out")(out)
+        return x + out

@@ -1,0 +1,344 @@
+"""SD-v1-4 UNet (9-channel inpainting variant) with first-class injection.
+
+Capability parity with the reference UNet
+(`/root/reference/REFace/ldm/modules/diffusionmodules/openaimodel.py:528-908`,
+config `configs/train.yaml:32-47`: in 9 / out 4 / model_channels 320 /
+ch_mult (1,2,4,4) / 2 res blocks / attention at ds {1,2,4} / 8 heads /
+context_dim 768 / transformer_depth 1) — redesigned TPU-first:
+
+* NHWC, params fp32, compute dtype configurable (bfloat16 on TPU).
+* The reference's plug-and-play attention hooks (monkey-patched
+  ``CrossAttention.forward`` per sampling step,
+  `ldm/models/pnp_utils.py:57-339`) are replaced by an
+  :class:`InjectionSpec` — a *static, hashable* description of which site
+  class (input / middle / output blocks) applies which fusion — threaded
+  through the forward as a plain argument. Optical flow for FGATS rides along
+  as a traced array. Under ``jit`` each distinct spec traces once; the active
+  VFace schedule uses one spec for all 50 steps (input blocks = ``flow_fix``,
+  rest off — `ddim_w_inv.py:300-308`).
+* ``return_features`` returns every output-block activation
+  (openaimodel.py:897-905), used by the landmark loss head.
+* ``use_remat`` wraps res/transformer blocks in ``jax.checkpoint`` —
+  the TPU analogue of the reference's ``use_checkpoint: True``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vface_tpu.models.layers import Conv, Dense, GroupNorm32, LayerNormF32, nonlinearity, upsample_nearest_2x
+from vface_tpu.ops.attention import FusionConfig, fuse_qkv, multi_head_attention
+from vface_tpu.utils.schedule import timestep_embedding
+
+NONE = FusionConfig("none")
+
+
+@dataclasses.dataclass(frozen=True)
+class InjectionSpec:
+    """Static per-site-class fusion spec (the functional form of pnp hooks).
+
+    The reference registers hooks by block list (pnp_utils.py:289-339); its
+    active schedule only ever distinguishes input vs middle vs output blocks,
+    so that is the granularity exposed here.
+    """
+
+    input_blocks: FusionConfig = NONE
+    middle: FusionConfig = NONE
+    output_blocks: FusionConfig = NONE
+    chunks: int = 3
+
+    def for_site(self, site: str) -> FusionConfig:
+        return {"in": self.input_blocks, "mid": self.middle, "out": self.output_blocks}[site]
+
+    @classmethod
+    def vface_active(cls, split_ratio: float = 0.8, flow_alpha: float = 0.8):
+        """The schedule actually in effect inside the VFace sampling loop
+        (ddim_w_inv.py:300-308): input-block attn1 = FSAI+FGATS, rest off."""
+        return cls(
+            input_blocks=FusionConfig(
+                "flow_fix", split_ratio=split_ratio, flow_alpha=flow_alpha
+            )
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 9
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (1, 2, 4)  # ds values with attn
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dropout: float = 0.0
+    use_remat: bool = True
+    use_flash: bool = False  # Pallas flash self-attention at >=256 tokens
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def sd_v1_inpaint(cls, dtype=jnp.bfloat16, use_flash: bool = False):
+        return cls(dtype=dtype, use_flash=use_flash)
+
+    @classmethod
+    def tiny(cls):
+        """Unit-test / dryrun config: same topology, tiny widths."""
+        return cls(
+            model_channels=32,
+            num_res_blocks=1,
+            channel_mult=(1, 2),
+            num_heads=4,
+            context_dim=64,
+            use_remat=False,
+        )
+
+
+class CrossAttention(nn.Module):
+    """q from x, k/v from context (or x for self-attn). attn1 fusion-aware.
+
+    Mirrors `ldm/modules/attention.py:152-222`: to_q/k/v without bias,
+    to_out with bias; inner_dim = query_dim; scale = dim_head^-0.5.
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        fusion: FusionConfig = NONE,
+        chunks: int = 3,
+        flow=None,
+    ):
+        inner = self.query_dim
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_v")(ctx)
+        if fusion.active:
+            q, k, v = fuse_qkv(q, k, v, fusion, chunks=chunks, flow=flow)
+            q = q.astype(self.dtype)
+            k = k.astype(self.dtype)
+            v = v.astype(self.dtype)
+        if self.use_flash and context is None and x.shape[1] >= 256:
+            # self-attn hot path (N up to 4096): Pallas flash kernel
+            from vface_tpu.ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v, self.heads)
+        else:
+            out = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
+        return nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="geglu")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attn1 (self, injection site) → attn2 (cross to conditioning) → FF.
+
+    `ldm/modules/attention.py:224-244`.
+    """
+
+    dim: int
+    context_dim: int
+    heads: int
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
+        h = LayerNormF32(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.dim, heads=self.heads, dtype=self.dtype, use_flash=self.use_flash,
+            name="attn1",
+        )(h, None, fusion=fusion, chunks=chunks, flow=flow)
+        h = LayerNormF32(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.dim, self.context_dim, heads=self.heads, dtype=self.dtype, name="attn2"
+        )(h, context)
+        h = LayerNormF32(dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """GN → 1x1 proj_in → transformer blocks over HW tokens → zero 1x1 proj_out + residual.
+
+    `ldm/modules/attention.py:246-288`.
+    """
+
+    channels: int
+    context_dim: int
+    heads: int
+    depth: int = 1
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
+        b, h, w, c = x.shape
+        res = x
+        x = GroupNorm32(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = Conv(self.channels, kernel=1, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.channels, self.context_dim, self.heads, dtype=self.dtype,
+                use_flash=self.use_flash, name=f"block_{i}",
+            )(x, context, fusion, chunks, flow)
+        x = x.reshape(b, h, w, c)
+        x = Conv(self.channels, kernel=1, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        return x + res
+
+
+class ResBlock(nn.Module):
+    """UNet residual block with timestep-embedding add (openaimodel.py:163-252)."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
+        h = nonlinearity(h)
+        h = Conv(self.out_ch, dtype=self.dtype, name="in_conv")(h)
+        e = Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nonlinearity(emb))
+        h = h + e[:, None, None, :]
+        h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+        h = nonlinearity(h)
+        h = Conv(self.out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        if x.shape[-1] != self.out_ch:
+            x = Conv(self.out_ch, kernel=1, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.out_ch, stride=2, dtype=self.dtype, name="op")(x)
+
+
+class Upsample(nn.Module):
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.out_ch, dtype=self.dtype, name="conv")(upsample_nearest_2x(x))
+
+
+class UNetModel(nn.Module):
+    """The 9-channel SD UNet. x: (B, H, W, 9) latent+inpaint+mask concat.
+
+    ``injection`` is static per trace; ``flow`` is traced (F-1, Hq, Wq, 2)
+    pixel flow at the 64x64 token resolution (or None).
+    """
+
+    cfg: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        timesteps,
+        context,
+        flow=None,
+        injection: Optional[InjectionSpec] = None,
+        return_features: bool = False,
+    ):
+        cfg = self.cfg
+        inj = injection or InjectionSpec()
+        dtype = cfg.dtype
+        x = x.astype(dtype)
+        context = context.astype(dtype)
+
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_0")(t_emb.astype(dtype))
+        emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_2")(nonlinearity(emb))
+
+        def res(h, e, ch, name):
+            blk = ResBlock(ch, dtype=dtype, name=name)
+            if cfg.use_remat:
+                return nn.remat(lambda m, a, b: m(a, b))(blk, h, e)
+            return blk(h, e)
+
+        def attn(h, site, ch, name):
+            st = SpatialTransformer(
+                ch, cfg.context_dim, cfg.num_heads, cfg.transformer_depth,
+                dtype=dtype, use_flash=cfg.use_flash, name=name,
+            )
+            return st(h, context, inj.for_site(site), inj.chunks, flow)
+
+        hs = []
+        h = Conv(cfg.model_channels, dtype=dtype, name="conv_in")(x)
+        hs.append(h)
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = cfg.model_channels * mult
+            for i in range(cfg.num_res_blocks):
+                h = res(h, emb, ch, f"in_{level}_{i}_res")
+                if ds in cfg.attention_resolutions:
+                    h = attn(h, "in", ch, f"in_{level}_{i}_attn")
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, dtype=dtype, name=f"in_{level}_down")(h)
+                hs.append(h)
+                ds *= 2
+
+        ch = cfg.model_channels * cfg.channel_mult[-1]
+        h = res(h, emb, ch, "mid_res_0")
+        h = attn(h, "mid", ch, "mid_attn")
+        h = res(h, emb, ch, "mid_res_1")
+
+        features = []
+        for level in reversed(range(len(cfg.channel_mult))):
+            ch = cfg.model_channels * cfg.channel_mult[level]
+            for i in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res(h, emb, ch, f"out_{level}_{i}_res")
+                if ds in cfg.attention_resolutions:
+                    h = attn(h, "out", ch, f"out_{level}_{i}_attn")
+                if level != 0 and i == cfg.num_res_blocks:
+                    h = Upsample(ch, dtype=dtype, name=f"out_{level}_up")(h)
+                    ds //= 2
+                features.append(h)
+
+        h = GroupNorm32(dtype=dtype, name="out_norm")(h)
+        h = nonlinearity(h)
+        out = Conv(cfg.out_channels, zero_init=True, dtype=dtype, name="out_conv")(h)
+        out = out.astype(jnp.float32)
+        if return_features:
+            return out, features
+        return out

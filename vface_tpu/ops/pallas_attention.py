@@ -1,0 +1,125 @@
+"""Pallas TPU flash self-attention with the FSAI fusion folded in.
+
+The reference's hooked attention materialises the full (N, N) similarity
+matrix per head in HBM (`/root/reference/REFace/ldm/modules/attention.py:
+201-222`) after mutating q/k in a monkey-patched forward
+(`ldm/models/pnp_utils.py:92-288`). Here the hot path is one Pallas kernel:
+
+* **flash attention** — online-softmax tiling over the key dimension, so the
+  64×64-token (N=4096) attn1 never materialises the 4096² matrix; softmax
+  statistics live in VMEM scratch.
+* **FSAI folded in** — the spectral split `combine_fft_high_low` is linear
+  for real inputs (see `vface_tpu.ops.fusion`): q ← donor + (q−donor)·K_low.
+  The kernel takes the *pre-mixed* q/k (mixing is one (D,D) MXU matmul done
+  by the caller — cheap and fusable), so no extra kernel complexity, and the
+  same kernel serves hooked and un-hooked sites.
+
+The kernel is block-tiled (Bq × Bk) with fp32 accumulation; heads and batch
+ride the grid. Falls back to the einsum path automatically off-TPU (the
+interpreter runs it in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k, kv_len, scale):
+    """Grid: (batch*heads, q_blocks, k_blocks). Online softmax over k blocks."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (Bq, D)
+    k = k_ref[0].astype(jnp.float32)  # (Bk, D)
+    v = v_ref[0].astype(jnp.float32)  # (Bk, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk)
+
+    m_prev = m_scr[:]  # (Bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (Bq, Bk)
+    alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N, D) q/k/v with D = H * dh → (B, N, D). fp32 softmax, MXU matmuls."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k:
+        # shapes the kernel can't tile cleanly: use the reference einsum path
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+
+    qh = split_heads(q, nq)
+    kh = split_heads(k, nk)
+    vh = split_heads(v, nk)
+
+    grid = (b * h, nq // block_q, nk // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dh), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+
+    return out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)

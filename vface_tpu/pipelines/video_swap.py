@@ -1,0 +1,294 @@
+"""The VFace video face-swap pipeline — end-to-end, window-batched, jitted.
+
+Capability parity with `/root/reference/REFace/scripts/VFace_inference_batch.py`
+(``run_inference`` :193-670) and ``VFace_inference_single.py``, restructured so
+that everything between frame ingest and paste-back is device code:
+
+reference (per 6-frame window)                 → here
+----------------------------------------------------------------------------
+dlib align/crop per frame on host (:277-309)   → LandmarkNet + quad_crop, batched
+BiSeNet mask per frame (:251, :287)            → BiSeNet, batched
+model.get_landmarks dlib CPU loop (:429)       → LandmarkNet on the crop batch
+conditioning_with_feat ×3 (:437-442, :503)     → `window_conditionings`
+VAE encodes (:456-513)                         → batched encodes
+ddim_invert + per-step torch.save (:531-541)   → in-HBM latent stack scan
+RAFT flow pair loop (:553)                     → batched RAFT forward
+sampler.sample 3-chunk 50 steps (:580-594)     → `vface_sample` scan
+decode + background re-encode trick (:611-623) → `decode_with_background`
+PIL PERSPECTIVE paste-back (:625-636)          → `preprocess.align.paste_back`
+moviepy mux (:646-666)                         → `vface_tpu.io.video`
+
+Window semantics preserved: each window of ``n_frames`` (default 6) is
+smoothed independently; the window's start codes are the inversion latents at
+t=961 (:541); FGATS flow links consecutive frames inside the window only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vface_tpu.models.clip import clip_preprocess
+from vface_tpu.models.ldm import VFaceModel
+from vface_tpu.models.unet import InjectionSpec
+from vface_tpu.ops.attention import FusionConfig
+from vface_tpu.ops.warp import resize_flow
+from vface_tpu.preprocess.align import compute_quad, perspective_coefficients, quad_crop, paste_back
+from vface_tpu.preprocess.landmarks import LandmarkNet, landmarks_to_vector
+from vface_tpu.preprocess.masks import inpaint_inputs
+from vface_tpu.samplers.inversion import ddim_invert
+from vface_tpu.samplers.vface import vface_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class SwapOptions:
+    """Operating point of VFace_video_swap_batch.sh / VFace_inference_batch.py."""
+
+    ddim_steps: int = 50
+    inversion_steps: int = 50  # fixed 50 regardless of ddim_steps (:502)
+    cfg_scale: float = 3.0
+    window: int = 6  # frames per batch (:783-787)
+    image_size: int = 512
+    parser_size: int = 512  # BiSeNet input resolution (face_parsing_demo.py)
+    eta: float = 0.0
+    split_ratio: float = 0.8
+    flow_alpha: float = 0.8
+    fps: int = 10
+
+
+class VideoSwapPipeline:
+    """Bundles the diffusion model with the aux nets and exposes window ops.
+
+    ``aux_params`` carries {"bisenet": ..., "raft": ..., "landmark": ...}.
+    BiSeNet / RAFT / landmark modules are constructed here; masks/landmarks/
+    flow can also be supplied precomputed (the reference caches them on disk,
+    :268-309 — our resume story keeps that shape).
+    """
+
+    def __init__(self, model: VFaceModel, opts: SwapOptions = SwapOptions()):
+        from vface_tpu.models.bisenet import BiSeNet
+        from vface_tpu.models.raft import RAFT
+
+        self.model = model
+        self.opts = opts
+        self.bisenet = BiSeNet()
+        self.raft = RAFT()
+        self.landmark_net = LandmarkNet()
+        self.injection = InjectionSpec(
+            input_blocks=FusionConfig(
+                "flow_fix", split_ratio=opts.split_ratio, flow_alpha=opts.flow_alpha
+            ),
+            chunks=3,
+        )
+
+    # ---------------------------------------------------------------- prep
+    def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
+        return self.landmark_net.apply({"params": aux_params["landmark"]}, images01)
+
+    def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0):
+        """frames01 (F, H, W, 3) in [0,1] → (crops01 (F,S,S,3), inv_coeffs (F,8)).
+
+        quad via landmarks (alignmengt.py:148-178), crop via the batched QUAD
+        transform, inverse perspective coefficients for paste-back.
+        """
+        s = self.opts.image_size
+        lm = self.detect_landmarks(aux_params, frames01)
+        quad, _ = compute_quad(lm, scale=scale)
+        crops = quad_crop(frames01, quad, s)
+        # inverse transform: frame pixel → crop pixel, per frame (host solve)
+        quad_np = np.asarray(quad)
+        coeffs = np.stack(
+            [
+                perspective_coefficients(
+                    # crop corners ↔ quad corners: map frame→crop coords
+                    quad_np[i],
+                    np.asarray([[0, 0], [0, s], [s, s], [s, 0]], np.float32),
+                )
+                for i in range(quad_np.shape[0])
+            ]
+        )
+        return crops, jnp.asarray(coeffs)
+
+    def parse_masks(self, aux_params, crops01: jax.Array) -> jax.Array:
+        """Class map at the crop resolution (BiSeNet runs at its native 512²,
+        face_parsing_demo.py:297; the map is nearest-resized back to the crop)."""
+        from vface_tpu.models.bisenet import parse_faces
+
+        seg = parse_faces(
+            aux_params["bisenet"], crops01, self.bisenet, size=self.opts.parser_size
+        )
+        f, s = crops01.shape[0], crops01.shape[1]
+        if seg.shape[1] != s:
+            seg = jax.image.resize(seg, (f, s, s), method="nearest")
+        return seg
+
+    def compute_flow(self, aux_params, crops01: jax.Array) -> jax.Array:
+        """(F, S, S, 3) → (F-1, S, S, 2): RAFT flow between consecutive frames
+        (temporal_flow.py:164-188), all pairs in one batched forward."""
+        x = crops01 * 2.0 - 1.0
+        return self.raft.apply({"params": aux_params["raft"]}, x[:-1], x[1:])
+
+    # ------------------------------------------------------- conditionings
+    def window_conditionings(
+        self,
+        params,
+        aux_params,
+        crops: jax.Array,          # (F,S,S,3) target crops in [-1,1]
+        keep_mask: jax.Array,      # (F,S,S,1) 1 = background kept
+        src_clip: jax.Array,       # (1,224,224,3) CLIP-normalised masked source
+        src_crop01: jax.Array,     # (1,S,S,3) aligned source in [0,1]
+        src_landmarks: jax.Array,  # (1,136)
+    ):
+        """Build (cond, uncond, inverse_cond, cond_w_src) for a window
+        (VFace_inference_batch.py:429-506)."""
+        f = crops.shape[0]
+        crops01 = (crops + 1.0) * 0.5
+        lm = landmarks_to_vector(self.detect_landmarks(aux_params, crops01))
+        tar_clip = clip_preprocess(crops01, self.model.cfg.cond.clip.image_size)
+        src_clip_f = jnp.broadcast_to(src_clip, (f,) + src_clip.shape[1:])
+        src_face01 = jnp.broadcast_to(src_crop01, (f,) + src_crop01.shape[1:])
+        # swap cond: CLIP(source) + CLIP(target frame) + ID(source) + lm(target)
+        cond = self.model.conditioning(params, src_clip_f, lm, tar_clip, src_face01)
+        # inversion cond: CLIP(masked target bg) + CLIP(target) + ID(bg) + lm(target)
+        bg01 = crops01 * keep_mask
+        bg_clip = clip_preprocess(bg01, self.model.cfg.cond.clip.image_size)
+        inverse_cond = self.model.conditioning(params, bg_clip, lm, tar_clip, bg01)
+        # source-reconstruction cond (for the co-inverted source chunk)
+        src_lm = src_landmarks
+        src_tar_clip = clip_preprocess(src_crop01, self.model.cfg.cond.clip.image_size)
+        cond_w_src = self.model.conditioning(params, src_clip, src_lm, src_tar_clip, src_crop01)
+        cond_w_src = jnp.broadcast_to(cond_w_src, (f,) + cond_w_src.shape[1:])
+        uncond = self.model.uncond(params, f)
+        return cond, uncond, inverse_cond, cond_w_src
+
+    # ------------------------------------------------------------- window
+    def swap_window(
+        self,
+        params,
+        crops: jax.Array,          # (F,S,S,3) target crops [-1,1]
+        keep_mask: jax.Array,      # (F,S,S,1)
+        cond: jax.Array,
+        uncond: jax.Array,
+        inverse_cond: jax.Array,
+        cond_w_src: jax.Array,
+        src_crop: jax.Array,       # (1,S,S,3) source [-1,1]
+        src_keep_mask: jax.Array,  # (1,S,S,1)
+        flow: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Device core for one window → swapped crops (F,S,S,3) in [0,1].
+
+        Mirrors :456-623: encode → co-invert target+source → 3-chunk hooked
+        sampling from the t=961 latents → decode.
+        """
+        opts = self.opts
+        model = self.model
+        f = crops.shape[0]
+        hl = model.cfg.latent_size
+
+        inpaint_img = crops * keep_mask
+        z_inpaint = model.encode_first_stage(params, inpaint_img)
+        mask_lat = jax.image.resize(keep_mask, (f, hl, hl, 1), method="bilinear")
+
+        z_tar = model.encode_first_stage(params, crops)
+        src_b = jnp.broadcast_to(src_crop, (f,) + src_crop.shape[1:])
+        z_src = model.encode_first_stage(params, src_b)
+        src_inpaint = src_crop * src_keep_mask
+        z_inpaint_src = model.encode_first_stage(
+            params, jnp.broadcast_to(src_inpaint, (f,) + src_inpaint.shape[1:])
+        )
+        src_mask_lat = jax.image.resize(
+            jnp.broadcast_to(src_keep_mask, (f,) + src_keep_mask.shape[1:]),
+            (f, hl, hl, 1),
+            method="bilinear",
+        )
+
+        # co-invert cat([target, source]) with cat([inverse_cond, cond_w_src]),
+        # keeping the target chunk's latent stack (:514-541, ddim_w_inv.py:464-486)
+        z2 = jnp.concatenate([z_tar, z_src], axis=0)
+        inv_c = jnp.concatenate([inverse_cond, cond_w_src], axis=0)
+        inv_inpaint = jnp.concatenate([z_inpaint, z_inpaint_src], axis=0)
+        inv_mask = jnp.concatenate([mask_lat, src_mask_lat], axis=0)
+        x_T_full, inv_latents = ddim_invert(
+            model, params, z2, inv_c, inv_inpaint, inv_mask,
+            num_steps=opts.inversion_steps, keep=f,
+        )
+        # The reference hardcodes start_code = ddim_latents_961.pt (:541) —
+        # the SECOND-to-last inversion entry for S=50 (timesteps end at 981).
+        start_code = inv_latents[-2] if opts.inversion_steps >= 2 else inv_latents[-1]
+
+        flow_q = None
+        if flow is not None:
+            hq = model.cfg.latent_size  # 64 tokens per side at 512px
+            flow_q = resize_flow(flow, hq, hq)
+
+        z0, _ = vface_sample(
+            model, params, start_code, cond, uncond, inverse_cond,
+            inv_latents, z_inpaint, mask_lat, self.injection, flow=flow_q,
+            num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale, eta=opts.eta,
+        )
+        out = model.decode_first_stage(params, z0)
+        return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+
+    def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
+        """The background-consistency trick (:611-623): encode+decode the
+        original frame so pasted backgrounds share the VAE's color response."""
+        z = self.model.encode_first_stage(params, frames)
+        out = self.model.decode_first_stage(params, z)
+        return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------ full run
+    def swap_video_frames(
+        self,
+        params,
+        aux_params,
+        frames01: np.ndarray,
+        source01: np.ndarray,
+        remove_classes=None,
+    ) -> np.ndarray:
+        """Host orchestration: align → parse → window loop → paste-back.
+
+        frames01 (N, H, W, 3) float [0,1]; source01 (H, W, 3).
+        Returns swapped full frames (N, H, W, 3) in [0,1].
+        """
+        from vface_tpu.preprocess.masks import TRAIN_REMOVE
+
+        remove_classes = remove_classes or TRAIN_REMOVE
+        opts = self.opts
+        frames01 = jnp.asarray(frames01)
+        n = frames01.shape[0]
+
+        crops01, inv_coeffs = self.align_crops(aux_params, frames01)
+        seg = self.parse_masks(aux_params, crops01)
+        _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
+
+        src = jnp.asarray(source01)[None]
+        src_crop01, _ = self.align_crops(aux_params, src)
+        src_seg = self.parse_masks(aux_params, src_crop01)
+        _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
+        # masked CLIP-normalised source reference (:314-356)
+        src_face_only = src_crop01 * (1.0 - src_keep)
+        src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
+        src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
+
+        out_frames = []
+        w = opts.window
+        for s0 in range(0, n, w):
+            sl = slice(s0, min(s0 + w, n))
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl]) if (sl.stop - s0) > 1 else None
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            swapped = self.swap_window(
+                params, c, km, cond, uncond, inv_c, c_src,
+                src_crop01 * 2 - 1, src_keep, flow,
+            )
+            bg = self.decode_with_background(params, frames01[sl] * 2 - 1)
+            pasted = paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km)
+            out_frames.append(np.asarray(pasted))
+        return np.concatenate(out_frames, axis=0)

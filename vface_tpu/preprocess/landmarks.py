@@ -1,0 +1,80 @@
+"""68-point facial landmarks — batched, on-device (the dlib replacement).
+
+The reference runs dlib's C++ HOG detector + ensemble-of-regression-trees
+landmarker per frame on the host, *inside the model's forward path*
+(`/root/reference/REFace/ldm/models/diffusion/ddpm.py:704-708, 1068-1099` and
+`src/utils/alignmengt.py:39-81`) — a GPU→CPU→GPU round trip every batch
+(SURVEY hard-part #2). TPU-native replacement strategy:
+
+1. :class:`LandmarkNet` — a small fully-convolutional heatmap regressor
+   (stacked conv/pool → 68 heatmaps → soft-argmax) that runs batched under
+   jit. Soft-argmax keeps it differentiable and avoids dynamic shapes.
+   Weights are trainable from any 68-pt dataset (or distilled from dlib
+   outputs offline); architecture is deliberately simple so a distilled
+   checkpoint is cheap to produce.
+2. :class:`UNetLandmarkHead` — parity port of the reference's
+   ``LandmarkDetectionModel`` (ddpm.py:163-178): 640-ch UNet features →
+   conv128 → maxpool → linear → 136, used by the optional landmark loss
+   (ddpm.py:1692-1694, weight 0 in the shipped config).
+
+The geometric consumers (`vface_tpu.preprocess.align.compute_quad`,
+conditioning's 136-d vector) take plain (B, 68, 2) arrays, so a bit-accurate
+dlib port can be slotted in later without touching callers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LandmarkNet(nn.Module):
+    """(B, S, S, 3) in [0,1] → (B, 68, 2) pixel coords in input scale.
+
+    Conv trunk at 1/8 resolution → 68 heatmaps → spatial soft-argmax.
+    """
+
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _, _ = x.shape
+        w = self.width
+        for i, (ch, stride) in enumerate(
+            [(w, 2), (w * 2, 1), (w * 2, 2), (w * 4, 1), (w * 4, 2), (w * 8, 1)]
+        ):
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding=1,
+                        param_dtype=jnp.float32, name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=8, name=f"gn_{i}")(x)
+            x = jax.nn.relu(x)
+        heat = nn.Conv(68, (1, 1), param_dtype=jnp.float32, name="head")(x)  # (B, s/8, s/8, 68)
+        hs = heat.shape[1]
+        flat = heat.reshape(b, hs * hs, 68)
+        prob = jax.nn.softmax(flat.astype(jnp.float32), axis=1)
+        ys = jnp.arange(hs, dtype=jnp.float32)
+        xs = jnp.arange(hs, dtype=jnp.float32)
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        gx = jnp.einsum("bnk,n->bk", prob, xx.reshape(-1))
+        gy = jnp.einsum("bnk,n->bk", prob, yy.reshape(-1))
+        scale = s / hs
+        return jnp.stack([gx, gy], axis=-1) * scale  # (B, 68, 2) in pixels
+
+
+class UNetLandmarkHead(nn.Module):
+    """Parity port of ddpm.py:163-178 (640ch 64² UNet feature → 136)."""
+
+    @nn.compact
+    def __call__(self, feats):
+        x = nn.Conv(128, (3, 3), padding=1, param_dtype=jnp.float32, name="conv")(feats)
+        x = jax.nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        b = x.shape[0]
+        x = x.transpose(0, 3, 1, 2).reshape(b, -1)  # torch flatten order
+        return nn.Dense(136, param_dtype=jnp.float32, name="fc")(x)
+
+
+def landmarks_to_vector(landmarks68: jax.Array) -> jax.Array:
+    """(B, 68, 2) → (B, 136) in the dlib x,y interleaved order the
+    reference feeds to landmark_proj_out (ddpm.py:1086-1091: reshape(1,136))."""
+    return landmarks68.reshape(landmarks68.shape[0], 136)

@@ -1,0 +1,13 @@
+from vface_tpu.samplers.ddim import ddim_sample, ddim_sample_train, ddim_step
+from vface_tpu.samplers.inversion import ddim_invert
+from vface_tpu.samplers.plms import plms_sample
+from vface_tpu.samplers.vface import vface_sample
+
+__all__ = [
+    "ddim_sample",
+    "ddim_sample_train",
+    "ddim_step",
+    "ddim_invert",
+    "plms_sample",
+    "vface_sample",
+]

@@ -1,0 +1,83 @@
+"""DDIM inversion with the latent stack kept in HBM (no disk round trips).
+
+Capability parity with ``DDIMSampler.ddim_invert``
+(`/root/reference/REFace/ldm/models/diffusion/ddim_w_inv.py:360-500`): an
+ascending forward pass over the DDIM timesteps with the reference's custom
+alpha indexing (ddim_w_inv.py:442-449):
+
+    alpha_next = alphas_cumprod[step]
+    alpha_cur  = alphas_cumprod[max(0, step - T // S)]
+    x ← (x - sqrt(1 - alpha_cur) · e_t) · sqrt(alpha_next / alpha_cur)
+        + sqrt(1 - alpha_next) · e_t
+
+The reference saves the target chunk to ``ddim_latents_{t}.pt`` per step and
+re-loads it per sampling step (ddim_w_inv.py:483-486, 628 — disk I/O in the
+hot loop). Here the whole (S, B, h, w, 4) stack is the scan output and stays
+in HBM (~5 MB/frame at 64² fp32).
+
+The video driver inverts the 2B batch cat([z_target, z_source]) with
+conditions cat([inverse_cond, src_cond]) and keeps only the target half
+(`scripts/VFace_inference_batch.py:514-541`, ddim_w_inv.py:464-476) — pass the
+concatenated batch and ``keep`` for that behavior. Hooks are OFF during
+inversion (ddim_w_inv.py:389), so no injection arg exists here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vface_tpu.models.ldm import VFaceModel
+from vface_tpu.utils.schedule import DDIMSchedule
+
+
+def ddim_invert(
+    model: VFaceModel,
+    params,
+    z0: jax.Array,
+    cond: jax.Array,
+    inpaint_latent: jax.Array,
+    mask_latent: jax.Array,
+    num_steps: int = 50,
+    uncond: Optional[jax.Array] = None,
+    cfg_scale: float = 1.0,
+    keep: Optional[int] = None,
+):
+    """Invert z0 → noise. Returns (x_T, latents (S, keep, h, w, 4)).
+
+    latents[i] is the saved chunk at timestep ``timesteps[i]`` — exactly what
+    the 3-chunk sampler consumes at its step with the same timestep.
+    """
+    sch = DDIMSchedule.create(model.schedule, num_steps)
+    b = z0.shape[0]
+    keep = keep if keep is not None else b
+    ts = jnp.asarray(sch.timesteps)
+    a_next = jnp.asarray(sch.inv_alpha_next)
+    a_cur = jnp.asarray(sch.inv_alpha_cur)
+    extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+    use_cfg = uncond is not None and cfg_scale != 1.0
+    if use_cfg:
+        c_in = jnp.concatenate([uncond, cond], axis=0)
+
+    def body(x, i):
+        t = jnp.full((b,), ts[i], dtype=jnp.int32)
+        x9 = jnp.concatenate([x, extra], axis=-1)
+        if use_cfg:
+            eps = model.apply_model(
+                params,
+                jnp.concatenate([x9, x9], axis=0),
+                jnp.concatenate([t, t], axis=0),
+                c_in,
+            )
+            e_uncond, e_cond = jnp.split(eps, 2, axis=0)
+            e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
+        else:
+            e_t = model.apply_model(params, x9, t, cond)
+        an, ac = a_next[i], a_cur[i]
+        x_next = (x - jnp.sqrt(1.0 - ac) * e_t) * jnp.sqrt(an / ac) + jnp.sqrt(1.0 - an) * e_t
+        return x_next, x_next[:keep]
+
+    x_T, latents = jax.lax.scan(body, z0.astype(jnp.float32), jnp.arange(num_steps))
+    return x_T, latents

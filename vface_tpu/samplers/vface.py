@@ -1,0 +1,100 @@
+"""The VFace 3-chunk sampler: CFG + TSG reconstruction branch + FSAI/FGATS.
+
+Capability parity with ``DDIMSampler.sample → ddim_sampling →
+p_sample_ddim_with_inverse`` (`/root/reference/REFace/ldm/models/diffusion/
+ddim_w_inv.py:186-355, 621-738`), as one jitted `lax.scan`:
+
+* 3-chunk batch per step, runtime order **[uncond, cond, recon]**
+  (ddim_w_inv.py:654-662): chunk 0 = (x, uncond emb), chunk 1 =
+  (x_uncond := x or src_start latents, swap cond), chunk 2 =
+  (inverted target latents at t, target-reconstruction cond). The recon
+  chunk is teacher-forced from the inversion stack every step; its only
+  purpose is to populate attention q/k for TSG.
+* CFG: ``e_t = e_uncond + s·(e_cond − e_uncond)`` and the recon branch's own
+  ``e_recon ← e_recon + s·(e_recon − e_uncond)`` (ddim_w_inv.py:666-668) —
+  computed for parity with the reference's (unused) recon x_prev.
+* Injection: the reference re-registers attention hooks *every step* —
+  all sites off, then input-blocks ON with ``flow_fix``
+  (ddim_w_inv.py:300-308), i.e. a constant schedule. Here that is the static
+  :class:`~vface_tpu.models.unet.InjectionSpec` threaded through the UNet;
+  FGATS optical flow rides along as a traced array at the 64×64 token
+  resolution.
+* The inversion latent stack is consumed directly from HBM
+  (`vface_tpu.samplers.inversion`), replacing per-step torch.load
+  (ddim_w_inv.py:628).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vface_tpu.models.ldm import VFaceModel
+from vface_tpu.models.unet import InjectionSpec
+from vface_tpu.samplers.ddim import ddim_step
+from vface_tpu.utils.schedule import DDIMSchedule
+
+
+def vface_sample(
+    model: VFaceModel,
+    params,
+    x_T: jax.Array,
+    cond: jax.Array,
+    uncond: jax.Array,
+    target_cond: jax.Array,
+    inv_latents: jax.Array,
+    inpaint_latent: jax.Array,
+    mask_latent: jax.Array,
+    injection: InjectionSpec,
+    flow: Optional[jax.Array] = None,
+    num_steps: int = 50,
+    cfg_scale: float = 3.0,
+    eta: float = 0.0,
+    src_start: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """Run the hooked 3-chunk sampling loop.
+
+    x_T: (F, h, w, 4) start latents — the inversion stack's last entry
+    (t=961 for S=50), per `scripts/VFace_inference_batch.py:541`.
+    inv_latents: (S, F, h, w, 4) from :func:`ddim_invert` (same S).
+    flow: (F-1, Hq, Wq, 2) pixel flow at the 64×64 token grid or None.
+    Returns (z_0, pred_x0 trajectory).
+    """
+    sch = DDIMSchedule.create(model.schedule, num_steps)
+    f = x_T.shape[0]
+    ts = jnp.asarray(sch.timesteps)
+    a = jnp.asarray(sch.alphas)
+    a_prev = jnp.asarray(sch.alphas_prev)
+    s1m = jnp.asarray(sch.sqrt_one_minus_alphas)
+    sig = jnp.asarray(sch.sigmas)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+    c_in = jnp.concatenate([uncond, cond, target_cond], axis=0)
+
+    def body(carry, idx):
+        x, key = carry
+        index = num_steps - 1 - idx
+        t = jnp.full((f,), ts[index], dtype=jnp.int32)
+        inv_t = inv_latents[index]
+        x_u = x if src_start is None else src_start
+        x9 = jnp.concatenate([x, extra], axis=-1)
+        xu9 = jnp.concatenate([x_u, extra], axis=-1)
+        inv9 = jnp.concatenate([inv_t, extra], axis=-1)
+        x_in = jnp.concatenate([x9, xu9, inv9], axis=0)
+        t_in = jnp.concatenate([t, t, t], axis=0)
+        eps = model.apply_model(params, x_in, t_in, c_in, flow=flow, injection=injection)
+        e_uncond, e_cond, e_recon = jnp.split(eps, 3, axis=0)
+        e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
+        key, sub = jax.random.split(key)
+        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        x_prev, pred_x0 = ddim_step(
+            x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise
+        )
+        return (x_prev, key), pred_x0
+
+    (z0, _), traj = jax.lax.scan(body, (x_T.astype(jnp.float32), rng), jnp.arange(num_steps))
+    return z0, traj

@@ -56,9 +56,11 @@ def make_ddim_timesteps(
 ) -> np.ndarray:
     """DDIM timestep subsequence (ascending), +1 shifted like the reference.
 
-    `uniform` with S=50, T=1000 yields [1, 21, ..., 961] — note the final
-    timestep is 961, which is why the video driver starts sampling from the
-    inversion latents saved at t=961.
+    `uniform` with S=50, T=1000 yields [1, 21, ..., 961, 981] (reference
+    util.py:46-60). NOTE the reference video driver starts sampling from the
+    inversion latents hardcoded at t=961 (`VFace_inference_batch.py:541`) —
+    the *second-to-last* entry — while the first sampling step runs at t=981;
+    the rebuild reproduces that exact behavior (video_swap.py start_code).
     """
     if method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
