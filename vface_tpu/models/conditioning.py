@@ -43,6 +43,13 @@ class ConditionerConfig:
     weight_division: bool = False
     context_dim: int = 768
     arcface_stages: tuple = IR_50_STAGES
+    # token-combination mode (ddpm.py:1023-1040):
+    #   "sum"      — weighted sum into one token (the shipped config)
+    #   "concat"   — concat_feat: cat(c, c_id, lm_raw136) → Dense(768)
+    #   "stack"    — stack_feat: three tokens stacked on the sequence axis
+    #   "sep_head" — land_mark_id_seperate_layers / sep_head_att: 1536-d token,
+    #                split across attention heads (unet dual-context path)
+    mode: str = "sum"
 
     @classmethod
     def tiny(cls):
@@ -68,13 +75,26 @@ class Conditioner(nn.Module):
         self.proj_out_target = nn.Dense(d, param_dtype=jnp.float32)
         self.id_proj_out = nn.Dense(d, param_dtype=jnp.float32)
         self.landmark_proj_out = nn.Dense(d, param_dtype=jnp.float32)
+        if self.cfg.mode == "concat":
+            # concat_feat: Linear(768+768+136 → 768) (ddpm.py:1024-1026)
+            self.concat_feat_proj = nn.Dense(d, param_dtype=jnp.float32)
         # ddpm.py:699 — the learnable unconditional embedding.
         self.learnable_vector = self.param(
             "learnable_vector", nn.initializers.normal(1.0), (1, 1, d)
         )
+        if self.cfg.mode == "stack":
+            # stack_feat: extra uncond tokens for the stacked layout (ddpm.py:695-697)
+            self.other_learnable_vector = self.param(
+                "other_learnable_vector", nn.initializers.normal(1.0), (1, 2, d)
+            )
 
     def uncond(self, batch: int) -> jax.Array:
-        return jnp.broadcast_to(self.learnable_vector, (batch, 1, self.cfg.context_dim))
+        uc = self.learnable_vector
+        if self.cfg.mode == "stack":
+            uc = jnp.concatenate([uc, self.other_learnable_vector], axis=1)
+        elif self.cfg.mode == "sep_head":
+            uc = jnp.concatenate([uc, uc], axis=-1)
+        return jnp.broadcast_to(uc, (batch,) + uc.shape[1:])
 
     def __call__(
         self,
@@ -90,17 +110,36 @@ class Conditioner(nn.Module):
         if cfg.target_clip_feat and tar_clip_pixels is not None:
             c = c + self.proj_out_target(self.clip_encoder(tar_clip_pixels))
 
-        total = cfg.clip_weight
-        cond = c * cfg.clip_weight
+        c2 = jnp.zeros_like(c)
         if cfg.id_weight > 0 and src_face01 is not None:
             feats = self.arcface(arcface_preprocess(src_face01))
             c2 = self.id_proj_out(feats)[:, None, :]
-            cond = cond + c2 * cfg.id_weight
-            total += cfg.id_weight
+
+        lm_raw = None
+        lm = jnp.zeros_like(c)
+        if landmarks136 is not None:
+            lm_raw = landmarks136.astype(jnp.float32)
+            if lm_raw.ndim == 2:
+                lm_raw = lm_raw[:, None, :]
+            lm = self.landmark_proj_out(lm_raw)
+
+        if cfg.mode == "concat":
+            # cat(c, c_id, raw landmarks) → proj (ddpm.py:1024-1026)
+            raw = lm_raw if lm_raw is not None else jnp.zeros(c.shape[:2] + (136,))
+            return self.concat_feat_proj(jnp.concatenate([c, c2, raw], axis=-1))
+        if cfg.mode == "stack":
+            # three tokens on the sequence axis (ddpm.py:1028-1031)
+            return jnp.concatenate([c, c2, lm], axis=1)
+
+        total = cfg.clip_weight + (cfg.id_weight if cfg.id_weight > 0 else 0.0)
+        cond = c * cfg.clip_weight + c2 * cfg.id_weight
+        if cfg.mode == "sep_head":
+            # weighted clip+id token ++ landmark token → 1536-d dual context
+            # (ddpm.py:1032-1038; consumed by the unet head-split path)
+            if cfg.weight_division:
+                cond = cond / total
+            return jnp.concatenate([cond, lm], axis=-1)
         if cfg.landmark_cond and landmarks136 is not None:
-            lm = self.landmark_proj_out(landmarks136.astype(jnp.float32))
-            if lm.ndim == 2:
-                lm = lm[:, None, :]
             cond = cond + lm * cfg.landmarks_weight
             total += cfg.landmarks_weight
         if cfg.weight_division:

@@ -111,6 +111,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dtype: Any = jnp.float32
     use_flash: bool = False
+    head_splits: Optional[Tuple[int, int]] = None  # dual-context partition; default 3:1
 
     @nn.compact
     def __call__(
@@ -124,8 +125,27 @@ class CrossAttention(nn.Module):
         inner = self.query_dim
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_v")(ctx)
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_v")
+        if (
+            context is not None
+            and self.context_dim is not None
+            and ctx.shape[-1] == 2 * self.context_dim
+        ):
+            # dual 2x768 context: CLIP/ID tokens drive the first head_splits[0]
+            # heads, landmark tokens the last head_splits[1]
+            # (reference attention.py:183-199)
+            c1, c2 = jnp.split(ctx, 2, axis=-1)
+            dh = inner // self.heads
+            # reference uses heads (6, 2) of 8 — a 3:1 partition
+            splits = self.head_splits or (self.heads * 3 // 4, self.heads - self.heads * 3 // 4)
+            s0 = splits[0] * dh
+            s1 = splits[1] * dh
+            k = jnp.concatenate([to_k(c1)[..., :s0], to_k(c2)[..., inner - s1 :]], axis=-1)
+            v = jnp.concatenate([to_v(c1)[..., :s0], to_v(c2)[..., inner - s1 :]], axis=-1)
+        else:
+            k = to_k(ctx)
+            v = to_v(ctx)
         if fusion.active:
             q, k, v = fuse_qkv(q, k, v, fusion, chunks=chunks, flow=flow)
             q = q.astype(self.dtype)

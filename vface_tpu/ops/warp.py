@@ -111,3 +111,52 @@ def align_by_flow_chain(x: jax.Array, flow: jax.Array, alpha: float = 0.5) -> ja
 
     _, rest = jax.lax.scan(step, x[0], (x[1:], flow))
     return jnp.concatenate([x[:1], rest], axis=0)
+
+
+def align_by_flow_high_res(
+    x_latent: jax.Array,
+    flow: jax.Array,
+    decode_fn,
+    encode_fn,
+    alpha: float = 0.5,
+) -> jax.Array:
+    """Pixel-space FGATS variant (temporal_flow.py:191-219): decode the
+    latents, blend each frame with the warp of the previous *decoded* frame,
+    re-encode. flow at the decoded resolution, (F-1, H, W, 2)."""
+    imgs = decode_fn(x_latent)  # (F, H, W, 3)
+    warped_prev = warp_by_flow(imgs[:-1], flow)
+    blended = alpha * imgs[1:] + (1.0 - alpha) * warped_prev
+    out = jnp.concatenate([imgs[:1], blended], axis=0)
+    return encode_fn(out)
+
+
+def batch_flow_align(
+    x_prev: jax.Array,
+    flow: jax.Array,
+    decode_fn,
+    encode_fn,
+    alpha: float = 0.0,
+) -> jax.Array:
+    """Recurrent pixel-space chain (temporal_flow.py:116-161): decode, then
+    out[i+1] = alpha*img[i+1] + (1-alpha)*warp(out[i]); re-encode."""
+    imgs = decode_fn(x_prev)
+    aligned = align_by_flow_chain(imgs, flow, alpha)
+    return encode_fn(aligned)
+
+
+def batch_flow_align_latent(x_prev: jax.Array, flow_latent: jax.Array, alpha: float = 0.0) -> jax.Array:
+    """Latent-space recurrent chain (temporal_flow.py:278-320): the same
+    blend chain applied directly to latents with flow at latent resolution."""
+    return align_by_flow_chain(x_prev, flow_latent, alpha)
+
+
+def warp_from_video(frames: jax.Array, flows: jax.Array) -> jax.Array:
+    """Propagate frame 0 through the flow chain (temporal_flow.py:242-274):
+    out[0] = frames[0]; out[i+1] = warp(out[i], flows[i])."""
+
+    def step(prev, fi):
+        nxt = warp_by_flow(prev[None], fi[None])[0]
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(step, frames[0], flows)
+    return jnp.concatenate([frames[:1], rest], axis=0)

@@ -71,7 +71,11 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise NotImplementedError(method)
-    return ddim_timesteps + 1
+    # The +1 shift can reach T for step counts that don't divide T (e.g. S=3,
+    # T=1000 → ..., 1000) — the reference would index alphas_cumprod[T] and
+    # crash there (its shape assert is commented out, util.py:56). Clamp to
+    # the valid range; identical to the reference for divisor step counts.
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 @dataclasses.dataclass(frozen=True)
