@@ -200,3 +200,76 @@ def test_bench_pairs(
                 os.path.join(mask_dir, os.path.splitext(t)[0] + ".png"), image_size
             )
         yield item
+
+
+@dataclasses.dataclass
+class FFHQTrainDataset(CelebATrainDataset):
+    """FFHQ variant of the training dataset (`ldm/data/ffhq.py:382-803`).
+
+    Layout: images512/{00000..67999}.png + BiSeNet_mask/{i}.png (the
+    `esitmate_FFHQ_mask.py` precompute); 68000 train / 2000 val split. The
+    mask scheme is the 12-class seg12 with the FFHQ preserve list
+    (project_ffhq.yaml).
+    """
+
+    remove_classes: Sequence[int] = tuple(
+        c for c in range(12) if c not in (1, 2, 3, 5, 6, 7, 9) and c != 0
+    )
+
+    def __post_init__(self):
+        lo, hi = (0, 68000) if self.split == "train" else (68000, 70000)
+        img_dir = os.path.join(self.dataset_dir, "images512")
+        ids = []
+        if os.path.isdir(img_dir):
+            for i in range(lo, hi):
+                if os.path.exists(os.path.join(img_dir, f"{i:05d}.png")):
+                    ids.append(i)
+        self.ids = ids
+        self._rng = np.random.default_rng(self.seed)
+
+    def __getitem__(self, k: int) -> dict:
+        from vface_tpu.preprocess.masks import region_mask
+        import jax.numpy as jnp
+
+        i = self.ids[k]
+        img01 = _load_image(
+            os.path.join(self.dataset_dir, "images512", f"{i:05d}.png"), self.image_size
+        )
+        mask = _load_mask(
+            os.path.join(self.dataset_dir, "BiSeNet_mask", f"{i:05d}.png"), self.image_size
+        )
+        face = np.asarray(
+            region_mask(jnp.asarray(mask[None]), self.remove_classes, num_classes=12)
+        )[0]
+        keep = (1.0 - face)[..., None].astype(np.float32)
+        if self._rng.uniform() < self.arbitrary_mask_percent:
+            keep = self._decow(keep)
+        gt = normalize_img(img01)
+        ref = self._augment_reference(img01 * (1.0 - keep[..., 0])[..., None])
+        return {
+            "gt_image": gt.astype(np.float32),
+            "inpaint": (gt * keep).astype(np.float32),
+            "mask": keep,
+            "ref_image01": ref,
+        }
+
+
+def ff_test_pairs(dataset_dir: str, image_size: int = 512) -> Iterator[dict]:
+    """FF++ (FaceForensics++) image test bench pairing
+    (`ldm/data/test_bench_dataset.py:651-720` test split): targets
+    Val_target/{0000..0499}.png with target_mask, sources Val/{0500..0999}.png
+    with src_mask — result i swaps source 500+i onto target i."""
+    for i in range(500):
+        tar = os.path.join(dataset_dir, "Val_target", f"{i:04d}.png")
+        src = os.path.join(dataset_dir, "Val", f"{500 + i:04d}.png")
+        if not (os.path.exists(tar) and os.path.exists(src)):
+            continue
+        item = {
+            "source": normalize_img(_load_image(src, image_size)),
+            "target": normalize_img(_load_image(tar, image_size)),
+            "name": f"{i:04d}",
+        }
+        tm = os.path.join(dataset_dir, "target_mask", f"{i:04d}.png")
+        if os.path.exists(tm):
+            item["mask"] = _load_mask(tm, image_size)
+        yield item
