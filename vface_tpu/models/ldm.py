@@ -147,6 +147,8 @@ class VFaceModel:
         flow=None,
         injection: Optional[InjectionSpec] = None,
         return_features: bool = False,
+        encoder_cache=None,
+        return_encoder_cache: bool = False,
     ):
         """ε-prediction. x9 (B,h,w,9); t (B,) int32; context (B,1,D)."""
         return self.unet.apply(
@@ -157,6 +159,8 @@ class VFaceModel:
             flow=flow,
             injection=injection,
             return_features=return_features,
+            encoder_cache=encoder_cache,
+            return_encoder_cache=return_encoder_cache,
         )
 
     # ----------------------------------------------------------- schedule

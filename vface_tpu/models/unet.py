@@ -83,7 +83,7 @@ class UNetConfig:
     dtype: Any = jnp.float32
 
     @classmethod
-    def sd_v1_inpaint(cls, dtype=jnp.bfloat16, use_flash: bool = False):
+    def sd_v1_inpaint(cls, dtype=jnp.bfloat16, use_flash: bool = True):
         return cls(dtype=dtype, use_flash=use_flash)
 
     @classmethod
@@ -153,9 +153,11 @@ class CrossAttention(nn.Module):
             v = v.astype(self.dtype)
         if self.use_flash and context is None and x.shape[1] >= 256:
             # self-attn hot path (N up to 4096): Pallas flash kernel
-            from vface_tpu.ops.pallas_attention import flash_attention
+            # (v2: whole-KV-in-VMEM — measured faster than the einsum path
+            # at the SD shapes on v5e; falls back off-TPU/odd shapes)
+            from vface_tpu.ops.pallas_attention import flash_attention_v2
 
-            out = flash_attention(q, k, v, self.heads)
+            out = flash_attention_v2(q, k, v, self.heads)
         else:
             out = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
         return nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(out)
@@ -297,7 +299,18 @@ class UNetModel(nn.Module):
         flow=None,
         injection: Optional[InjectionSpec] = None,
         return_features: bool = False,
+        encoder_cache=None,
+        return_encoder_cache: bool = False,
     ):
+        """``encoder_cache`` / ``return_encoder_cache`` implement encoder
+        propagation ("Faster Diffusion", Li et al. 2023 — PAPERS.md): the
+        input-block skip stack + middle activation change slowly across
+        adjacent DDIM steps, so non-key steps may reuse a key step's cache
+        and run only the output blocks (with the *current* timestep
+        embedding). The cache is a pytree ((skips...), mid) — pass it back in
+        to skip the whole encoder. Init/trace with cache=None creates all
+        params; cached traces simply don't visit the encoder modules.
+        """
         cfg = self.cfg
         inj = injection or InjectionSpec()
         dtype = cfg.dtype
@@ -321,26 +334,33 @@ class UNetModel(nn.Module):
             )
             return st(h, context, inj.for_site(site), inj.chunks, flow)
 
-        hs = []
-        h = Conv(cfg.model_channels, dtype=dtype, name="conv_in")(x)
-        hs.append(h)
         ds = 1
-        for level, mult in enumerate(cfg.channel_mult):
-            ch = cfg.model_channels * mult
-            for i in range(cfg.num_res_blocks):
-                h = res(h, emb, ch, f"in_{level}_{i}_res")
-                if ds in cfg.attention_resolutions:
-                    h = attn(h, "in", ch, f"in_{level}_{i}_attn")
-                hs.append(h)
-            if level != len(cfg.channel_mult) - 1:
-                h = Downsample(ch, dtype=dtype, name=f"in_{level}_down")(h)
-                hs.append(h)
-                ds *= 2
+        if encoder_cache is None:
+            hs = []
+            h = Conv(cfg.model_channels, dtype=dtype, name="conv_in")(x)
+            hs.append(h)
+            for level, mult in enumerate(cfg.channel_mult):
+                ch = cfg.model_channels * mult
+                for i in range(cfg.num_res_blocks):
+                    h = res(h, emb, ch, f"in_{level}_{i}_res")
+                    if ds in cfg.attention_resolutions:
+                        h = attn(h, "in", ch, f"in_{level}_{i}_attn")
+                    hs.append(h)
+                if level != len(cfg.channel_mult) - 1:
+                    h = Downsample(ch, dtype=dtype, name=f"in_{level}_down")(h)
+                    hs.append(h)
+                    ds *= 2
 
-        ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = res(h, emb, ch, "mid_res_0")
-        h = attn(h, "mid", ch, "mid_attn")
-        h = res(h, emb, ch, "mid_res_1")
+            ch = cfg.model_channels * cfg.channel_mult[-1]
+            h = res(h, emb, ch, "mid_res_0")
+            h = attn(h, "mid", ch, "mid_attn")
+            h = res(h, emb, ch, "mid_res_1")
+            cache_out = (tuple(hs), h)
+        else:
+            hs, h = list(encoder_cache[0]), encoder_cache[1]
+            cache_out = encoder_cache
+            for level in range(len(cfg.channel_mult) - 1):
+                ds *= 2
 
         features = []
         for level in reversed(range(len(cfg.channel_mult))):
@@ -359,6 +379,8 @@ class UNetModel(nn.Module):
         h = nonlinearity(h)
         out = Conv(cfg.out_channels, zero_init=True, dtype=dtype, name="out_conv")(h)
         out = out.astype(jnp.float32)
+        if return_encoder_cache:
+            return (out, features, cache_out) if return_features else (out, cache_out)
         if return_features:
             return out, features
         return out

@@ -32,6 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _on_tpu() -> bool:
+    """Mosaic kernels only lower on TPU-like backends (incl. the tunneled
+    'axon' plugin); anywhere else the einsum path is used automatically."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k, kv_len, scale):
     """Grid: (batch*heads, q_blocks, k_blocks). Online softmax over k blocks."""
     kb = pl.program_id(2)
@@ -85,8 +95,9 @@ def flash_attention(
 
     block_q = min(block_q, nq)
     block_k = min(block_k, nk)
-    if nq % block_q or nk % block_k:
-        # shapes the kernel can't tile cleanly: use the reference einsum path
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        # shapes the kernel can't tile cleanly (or non-TPU backend):
+        # use the reference einsum path
         from vface_tpu.ops.attention import multi_head_attention
 
         return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
@@ -122,4 +133,89 @@ def flash_attention(
         interpret=interpret,
     )(qh, kh, vh)
 
+    return out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-KV-in-VMEM kernel for SD's small head dim
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, block_k, kv_len, scale):
+    """Grid: (batch*heads, q_blocks). K/V for the (b,h) live fully in VMEM
+    (N=4096, dh<=128 → ~1-2 MB total), so the online-softmax loop is a plain
+    fori_loop with no DMA churn and far fewer grid invocations than v1.
+    """
+    q = q_ref[0].astype(jnp.float32)  # (Bq, D)
+    bq = q.shape[0]
+    dh = q.shape[1]
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_v2(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N, D) self-attention; K/V held fully in VMEM per (batch, head)."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+
+    qh, kh, vh = split_heads(q, nq), split_heads(k, nk), split_heads(v, nk)
+    grid = (b * h, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v2, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
     return out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)

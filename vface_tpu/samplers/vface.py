@@ -54,6 +54,7 @@ def vface_sample(
     eta: float = 0.0,
     src_start: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
+    encoder_interval: int = 1,
 ):
     """Run the hooked 3-chunk sampling loop.
 
@@ -75,9 +76,7 @@ def vface_sample(
     extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
     c_in = jnp.concatenate([uncond, cond, target_cond], axis=0)
 
-    def body(carry, idx):
-        x, key = carry
-        index = num_steps - 1 - idx
+    def unet_inputs(x, index):
         t = jnp.full((f,), ts[index], dtype=jnp.int32)
         inv_t = inv_latents[index]
         x_u = x if src_start is None else src_start
@@ -86,7 +85,33 @@ def vface_sample(
         inv9 = jnp.concatenate([inv_t, extra], axis=-1)
         x_in = jnp.concatenate([x9, xu9, inv9], axis=0)
         t_in = jnp.concatenate([t, t, t], axis=0)
-        eps = model.apply_model(params, x_in, t_in, c_in, flow=flow, injection=injection)
+        return x_in, t_in
+
+    use_cache = encoder_interval > 1
+
+    def eps_full(x_in, t_in, _cache):
+        return model.apply_model(
+            params, x_in, t_in, c_in, flow=flow, injection=injection,
+            return_encoder_cache=True,
+        )
+
+    def eps_cached(x_in, t_in, cache):
+        return model.apply_model(
+            params, x_in, t_in, c_in, flow=flow, injection=injection,
+            encoder_cache=cache, return_encoder_cache=True,
+        )
+
+    def body(carry, idx):
+        x, key, cache = carry
+        index = num_steps - 1 - idx
+        x_in, t_in = unet_inputs(x, index)
+        if use_cache:
+            # encoder propagation: full encoder on key steps only
+            # ("Faster Diffusion" — see UNetModel.__call__ docstring)
+            is_key = (idx % encoder_interval) == 0
+            eps, cache = jax.lax.cond(is_key, eps_full, eps_cached, x_in, t_in, cache)
+        else:
+            eps = model.apply_model(params, x_in, t_in, c_in, flow=flow, injection=injection)
         e_uncond, e_cond, e_recon = jnp.split(eps, 3, axis=0)
         e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
         key, sub = jax.random.split(key)
@@ -94,7 +119,15 @@ def vface_sample(
         x_prev, pred_x0 = ddim_step(
             x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise
         )
-        return (x_prev, key), pred_x0
+        return (x_prev, key, cache), pred_x0
 
-    (z0, _), traj = jax.lax.scan(body, (x_T.astype(jnp.float32), rng), jnp.arange(num_steps))
+    if use_cache:
+        x_in0, t_in0 = unet_inputs(x_T.astype(jnp.float32), num_steps - 1)
+        cache0 = jax.eval_shape(lambda: eps_full(x_in0, t_in0, None))[1]
+        cache0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), cache0)
+    else:
+        cache0 = ()
+    (z0, _, _), traj = jax.lax.scan(
+        body, (x_T.astype(jnp.float32), rng, cache0), jnp.arange(num_steps)
+    )
     return z0, traj
