@@ -56,3 +56,25 @@ def test_pmean_gradients_reduce():
         out_specs=P("data"),
     )(x)
     np.testing.assert_allclose(np.asarray(out), np.full(8, np.mean(np.arange(8.0))))
+
+
+def test_halo_sharded_fgats_matches_unsharded():
+    """align_by_flow_sharded == align_by_flow across shard boundaries."""
+    from jax.experimental.shard_map import shard_map as smap
+
+    from vface_tpu.ops.warp import align_by_flow
+    from vface_tpu.parallel.mesh import align_by_flow_sharded
+
+    mesh = make_mesh()
+    F, H, W, C = 16, 8, 8, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (F, H, W, C))
+    flow = jax.random.normal(jax.random.PRNGKey(1), (F - 1, H, W, 2)) * 1.5
+    ref = align_by_flow(x, flow, alpha=0.8)
+    flow_padded = jnp.concatenate([jnp.zeros((1, H, W, 2)), flow], axis=0)
+    out = smap(
+        lambda xs, fs: align_by_flow_sharded(xs, fs, alpha=0.8),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+    )(x, flow_padded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -51,6 +51,8 @@ class InjectionSpec:
     middle: FusionConfig = NONE
     output_blocks: FusionConfig = NONE
     chunks: int = 3
+    # TSG conv injection at output_blocks[3]'s ResBlock (pnp_utils.py:379-383)
+    conv_inject: bool = False
 
     def for_site(self, site: str) -> FusionConfig:
         return {"in": self.input_blocks, "mid": self.middle, "out": self.output_blocks}[site]
@@ -243,13 +245,18 @@ class SpatialTransformer(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """UNet residual block with timestep-embedding add (openaimodel.py:163-252)."""
+    """UNet residual block with timestep-embedding add (openaimodel.py:163-252).
+
+    ``inject_chunks``: TSG conv injection (pnp_utils.py:341-383) — before the
+    skip add, the residual branch of chunks 0 and 1 is replaced by chunk 2's
+    (the target-reconstruction donor), copying structure into the swap path.
+    """
 
     out_ch: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, inject_chunks: int = 0):
         h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
         h = nonlinearity(h)
         h = Conv(self.out_ch, dtype=self.dtype, name="in_conv")(h)
@@ -258,6 +265,10 @@ class ResBlock(nn.Module):
         h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
         h = nonlinearity(h)
         h = Conv(self.out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        if inject_chunks:
+            f = h.shape[0] // inject_chunks
+            donor = h[(inject_chunks - 1) * f :]
+            h = jnp.concatenate([donor] * (inject_chunks - 1) + [donor], axis=0)
         if x.shape[-1] != self.out_ch:
             x = Conv(self.out_ch, kernel=1, dtype=self.dtype, name="skip")(x)
         return x + h
@@ -321,11 +332,11 @@ class UNetModel(nn.Module):
         emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_0")(t_emb.astype(dtype))
         emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_2")(nonlinearity(emb))
 
-        def res(h, e, ch, name):
+        def res(h, e, ch, name, inject=0):
             blk = ResBlock(ch, dtype=dtype, name=name)
             if cfg.use_remat:
-                return nn.remat(lambda m, a, b: m(a, b))(blk, h, e)
-            return blk(h, e)
+                return nn.remat(lambda m, a, b: m(a, b, inject))(blk, h, e)
+            return blk(h, e, inject)
 
         def attn(h, site, ch, name):
             st = SpatialTransformer(
@@ -363,11 +374,14 @@ class UNetModel(nn.Module):
                 ds *= 2
 
         features = []
+        to = 0  # global output_blocks index (reference numbering)
         for level in reversed(range(len(cfg.channel_mult))):
             ch = cfg.model_channels * cfg.channel_mult[level]
             for i in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = res(h, emb, ch, f"out_{level}_{i}_res")
+                inject = inj.chunks if (inj.conv_inject and to == 3) else 0
+                h = res(h, emb, ch, f"out_{level}_{i}_res", inject)
+                to += 1
                 if ds in cfg.attention_resolutions:
                     h = attn(h, "out", ch, f"out_{level}_{i}_attn")
                 if level != 0 and i == cfg.num_res_blocks:

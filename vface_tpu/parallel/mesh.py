@@ -76,3 +76,34 @@ def frame_halo_exchange(x: jax.Array, axis_name: str = "data") -> jax.Array:
 
 def pmean(tree, axis_name: str = "data"):
     return jax.tree_util.tree_map(lambda a: jax.lax.pmean(a, axis_name), tree)
+
+
+def align_by_flow_sharded(
+    x: jax.Array,
+    flow: jax.Array,
+    alpha: float = 0.8,
+    axis_name: str = "data",
+) -> jax.Array:
+    """FGATS blend with frames sharded over ``axis_name`` — inside shard_map.
+
+    Per-shard view: x (f_local, H, W, C); flow (f_local, H, W, 2) where
+    flow[i] maps local frame i's pixels back to the *previous global frame*
+    (the caller shards the global (F, …) flow array with one left-pad so
+    flow[0] of shard 0 is unused). The previous frame for local index 0 lives
+    on the left neighbour — fetched with one `ppermute` (the 1-frame halo of
+    SURVEY §7) instead of an all-gather of the window.
+
+    out[i] = alpha·x[i] + (1-alpha)·warp(prev(x, i), flow[i]); the global
+    first frame passes through unchanged (handled by the caller's mask or by
+    alpha=1 on that frame).
+    """
+    from vface_tpu.ops.warp import warp_by_flow
+
+    halo = frame_halo_exchange(x, axis_name)  # left neighbour's last frame
+    prev = jnp.concatenate([halo[None], x[:-1]], axis=0)
+    warped = warp_by_flow(prev, flow)
+    blended = alpha * x + (1.0 - alpha) * warped
+    # global frame 0: identity (no predecessor exists)
+    idx = jax.lax.axis_index(axis_name)
+    is_first = (jnp.arange(x.shape[0]) == 0) & (idx == 0)
+    return jnp.where(is_first[:, None, None, None], x, blended)

@@ -100,6 +100,9 @@ def train(
     os.makedirs(img_dir, exist_ok=True)
     ckpt = TrainCheckpointer(os.path.join(driver_cfg.logdir, "checkpoints"))
     timer = StageTimer()
+    from vface_tpu.utils.logging import MetricsLogger
+
+    metrics = MetricsLogger(driver_cfg.logdir, echo=False)
     step = 0
     try:
         t_epoch = time.perf_counter()
@@ -116,7 +119,9 @@ def train(
             if step % driver_cfg.log_every == 0:
                 vals = {k: float(v) for k, v in logs.items()}
                 dt = time.perf_counter() - t_epoch
-                print(f"[train] step {step} {vals} ({dt / driver_cfg.log_every:.2f}s/it)")
+                vals["sec_per_it"] = dt / driver_cfg.log_every
+                metrics.log(step, vals, prefix="train")
+                print(f"[train] step {step} {vals}")
                 t_epoch = time.perf_counter()
             if step % driver_cfg.image_log_every == 0:
                 z = model.encode_first_stage(params, batch_dev["gt_image"][:4])
