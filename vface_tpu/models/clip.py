@@ -169,3 +169,23 @@ def clip_preprocess(images01: jax.Array, size: int = 224) -> jax.Array:
     mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=x.dtype)
     std = jnp.asarray(CLIP_IMAGE_STD, dtype=x.dtype)
     return (x - mean) / std
+
+
+class CLIPImageEmbedderLegacy(nn.Module):
+    """The 1024-d variant: pooled vision feature → 5-layer width-1024 mapper
+    → final_ln, NO visual_projection (reference ``FrozenCLIPImageEmbedder``,
+    modules.py:138-175). Consumers project 1024→768 via the LDM-level
+    ``proj_out`` (ddpm.py:728-730)."""
+
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+    mapper_layers: int = 5
+
+    @nn.compact
+    def __call__(self, pixels):
+        cfg = self.cfg
+        pooled = CLIPVisionTower(cfg, name="vision")(pixels)
+        z = pooled[:, None, :]  # (B, 1, width)
+        for i in range(self.mapper_layers):
+            z = MapperBlock(cfg.width, heads=1, dtype=cfg.dtype, name=f"mapper_{i}")(z)
+        z = LayerNormF32(dtype=cfg.dtype, name="final_ln")(z)
+        return z.astype(jnp.float32)

@@ -398,3 +398,42 @@ class UNetModel(nn.Module):
         if return_features:
             return out, features
         return out
+
+
+class EncoderUNetModel(nn.Module):
+    """Half-UNet encoder with a pooled classification/regression head.
+
+    Capability parity with `openaimodel.py:910-1126` (``EncoderUNetModel``,
+    the classifier-guidance encoder kept by the reference): the UNet's
+    input_blocks + middle, followed by spatial pooling and a linear head.
+    """
+
+    cfg: UNetConfig = UNetConfig()
+    out_dim: int = 1000
+    pool: str = "adaptive"  # mean pool (the reference's adaptive variant)
+
+    @nn.compact
+    def __call__(self, x, timesteps, context=None):
+        cfg = self.cfg
+        dtype = cfg.dtype
+        x = x.astype(dtype)
+        t_emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_0")(t_emb.astype(dtype))
+        emb = Dense(cfg.model_channels * 4, dtype=dtype, name="time_embed_2")(nonlinearity(emb))
+
+        h = Conv(cfg.model_channels, dtype=dtype, name="conv_in")(x)
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = cfg.model_channels * mult
+            for i in range(cfg.num_res_blocks):
+                h = ResBlock(ch, dtype=dtype, name=f"in_{level}_{i}_res")(h, emb)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, dtype=dtype, name=f"in_{level}_down")(h)
+                ds *= 2
+        ch = cfg.model_channels * cfg.channel_mult[-1]
+        h = ResBlock(ch, dtype=dtype, name="mid_res_0")(h, emb)
+        h = ResBlock(ch, dtype=dtype, name="mid_res_1")(h, emb)
+        h = GroupNorm32(dtype=dtype, name="out_norm")(h)
+        h = nonlinearity(h)
+        pooled = jnp.mean(h, axis=(1, 2))
+        return Dense(self.out_dim, dtype=dtype, name="head")(pooled).astype(jnp.float32)

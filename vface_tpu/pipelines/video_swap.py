@@ -84,6 +84,10 @@ class VideoSwapPipeline:
             ),
             chunks=3,
         )
+        # the whole window (encode → co-invert → 3-chunk sample → decode) is
+        # ONE jitted program per (window, flow-presence) signature — replacing
+        # the reference's eager per-op dispatch + disk round trips
+        self._window_jit = jax.jit(self._swap_window_impl, static_argnames=("has_flow",))
 
     # ---------------------------------------------------------------- prep
     def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
@@ -179,6 +183,28 @@ class VideoSwapPipeline:
         src_keep_mask: jax.Array,  # (1,S,S,1)
         flow: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """One jitted program per window signature (see __init__)."""
+        return self._window_jit(
+            params, crops, keep_mask, cond, uncond, inverse_cond, cond_w_src,
+            src_crop, src_keep_mask,
+            flow if flow is not None else jnp.zeros((0,) + crops.shape[1:3] + (2,)),
+            has_flow=flow is not None,
+        )
+
+    def _swap_window_impl(
+        self,
+        params,
+        crops: jax.Array,
+        keep_mask: jax.Array,
+        cond: jax.Array,
+        uncond: jax.Array,
+        inverse_cond: jax.Array,
+        cond_w_src: jax.Array,
+        src_crop: jax.Array,
+        src_keep_mask: jax.Array,
+        flow: jax.Array,
+        has_flow: bool,
+    ) -> jax.Array:
         """Device core for one window → swapped crops (F,S,S,3) in [0,1].
 
         Mirrors :456-623: encode → co-invert target+source → 3-chunk hooked
@@ -221,7 +247,7 @@ class VideoSwapPipeline:
         start_code = inv_latents[-2] if opts.inversion_steps >= 2 else inv_latents[-1]
 
         flow_q = None
-        if flow is not None:
+        if has_flow:
             hq = model.cfg.latent_size  # 64 tokens per side at 512px
             flow_q = resize_flow(flow, hq, hq)
 
