@@ -55,3 +55,23 @@ def test_single_frame_video(pipeline):
     out = pipe.swap_video_frames(params, aux_params, frames, source)
     assert out.shape == frames.shape
     assert np.isfinite(out).all()
+
+
+def test_co_inversion_is_dead_compute(pipeline):
+    """Inverting target-only vs the reference's 2B co-inversion is
+    output-identical (hooks off during inversion; only the target chunk is
+    consumed)."""
+    import dataclasses
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(5).uniform(0, 1, (3, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(6).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    out_fast = pipe.swap_video_frames(params, aux_params, frames, source)
+    pipe_ref = VideoSwapPipeline(
+        pipe.model, dataclasses.replace(pipe.opts, co_invert_source=True)
+    )
+    pipe_ref.raft = pipe.raft
+    out_ref = pipe_ref.swap_video_frames(params, aux_params, frames, source)
+    np.testing.assert_allclose(out_fast, out_ref, atol=1e-5)

@@ -22,7 +22,6 @@ interpreter runs it in tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

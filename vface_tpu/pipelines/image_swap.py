@@ -102,8 +102,6 @@ def run_test_bench(
         if not buf:
             return
         tar = jnp.stack([b["target"] for b in buf])
-        import jax.numpy as jnp2
-
         mask = jnp.stack([jnp.asarray(b["mask"]) for b in buf])
         _, keep = inpaint_inputs(tar, mask, TRAIN_REMOVE)
         src01 = jnp.stack([(b["source"] + 1) * 0.5 for b in buf])

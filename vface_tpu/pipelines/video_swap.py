@@ -58,6 +58,11 @@ class SwapOptions:
     split_ratio: float = 0.8
     flow_alpha: float = 0.8
     fps: int = 10
+    # literal reference inversion batch (co-inverted source is dead compute;
+    # see _swap_window_impl) — off by default for 2x cheaper inversion
+    co_invert_source: bool = False
+    # encoder propagation interval for the sampling loop (1 = exact)
+    encoder_interval: int = 1
 
 
 class VideoSwapPipeline:
@@ -232,13 +237,22 @@ class VideoSwapPipeline:
             method="bilinear",
         )
 
-        # co-invert cat([target, source]) with cat([inverse_cond, cond_w_src]),
-        # keeping the target chunk's latent stack (:514-541, ddim_w_inv.py:464-486)
-        z2 = jnp.concatenate([z_tar, z_src], axis=0)
-        inv_c = jnp.concatenate([inverse_cond, cond_w_src], axis=0)
-        inv_inpaint = jnp.concatenate([z_inpaint, z_inpaint_src], axis=0)
-        inv_mask = jnp.concatenate([mask_lat, src_mask_lat], axis=0)
-        x_T_full, inv_latents = ddim_invert(
+        # The reference co-inverts cat([target, source]) with
+        # cat([inverse_cond, cond_w_src]) (:514-541) — but hooks are OFF
+        # during inversion (ddim_w_inv.py:389), batch elements are
+        # independent, and only the target chunk is ever saved/consumed
+        # (ddim_w_inv.py:464-486, start code :541). The source chunk is dead
+        # compute; inverting the target alone is output-identical and halves
+        # the inversion cost. Set co_invert_source=True for the literal
+        # reference batch shape.
+        if self.opts.co_invert_source:
+            z2 = jnp.concatenate([z_tar, z_src], axis=0)
+            inv_c = jnp.concatenate([inverse_cond, cond_w_src], axis=0)
+            inv_inpaint = jnp.concatenate([z_inpaint, z_inpaint_src], axis=0)
+            inv_mask = jnp.concatenate([mask_lat, src_mask_lat], axis=0)
+        else:
+            z2, inv_c, inv_inpaint, inv_mask = z_tar, inverse_cond, z_inpaint, mask_lat
+        _, inv_latents = ddim_invert(
             model, params, z2, inv_c, inv_inpaint, inv_mask,
             num_steps=opts.inversion_steps, keep=f,
         )
@@ -255,6 +269,7 @@ class VideoSwapPipeline:
             model, params, start_code, cond, uncond, inverse_cond,
             inv_latents, z_inpaint, mask_lat, self.injection, flow=flow_q,
             num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale, eta=opts.eta,
+            encoder_interval=opts.encoder_interval,
         )
         out = model.decode_first_stage(params, z0)
         return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
