@@ -98,14 +98,16 @@ class VideoSwapPipeline:
     def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
         return self.landmark_net.apply({"params": aux_params["landmark"]}, images01)
 
-    def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0):
+    def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0,
+                    landmarks: Optional[jax.Array] = None):
         """frames01 (F, H, W, 3) in [0,1] → (crops01 (F,S,S,3), inv_coeffs (F,8)).
 
         quad via landmarks (alignmengt.py:148-178), crop via the batched QUAD
         transform, inverse perspective coefficients for paste-back.
+        ``landmarks`` (F, 68, 2) overrides detection (multi-face localisation).
         """
         s = self.opts.image_size
-        lm = self.detect_landmarks(aux_params, frames01)
+        lm = landmarks if landmarks is not None else self.detect_landmarks(aux_params, frames01)
         quad, _ = compute_quad(lm, scale=scale)
         crops = quad_crop(frames01, quad, s)
         # inverse transform: frame pixel → crop pixel, per frame (host solve)
@@ -289,6 +291,9 @@ class VideoSwapPipeline:
         frames01: np.ndarray,
         source01: np.ndarray,
         remove_classes=None,
+        manifest=None,
+        window_sink=None,
+        frame_landmarks=None,
     ) -> np.ndarray:
         """Host orchestration: align → parse → window loop → paste-back.
 
@@ -302,7 +307,7 @@ class VideoSwapPipeline:
         frames01 = jnp.asarray(frames01)
         n = frames01.shape[0]
 
-        crops01, inv_coeffs = self.align_crops(aux_params, frames01)
+        crops01, inv_coeffs = self.align_crops(aux_params, frames01, landmarks=frame_landmarks)
         seg = self.parse_masks(aux_params, crops01)
         _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
 
@@ -319,6 +324,14 @@ class VideoSwapPipeline:
         w = opts.window
         for s0 in range(0, n, w):
             sl = slice(s0, min(s0 + w, n))
+            if manifest is not None and manifest.is_done(s0):
+                # preemption-safe resume: completed windows are skipped and
+                # re-read from the sink's storage (reference idempotency,
+                # VFace_inference_batch.py:889-891 / SURVEY §5)
+                done = manifest.data["windows"][str(s0)]
+                cached = [np.asarray(_load_png01(p)) for p in done["outputs"]]
+                out_frames.append(np.stack(cached))
+                continue
             c = crops01[sl] * 2 - 1
             km = keep_mask[sl]
             flow = self.compute_flow(aux_params, crops01[sl]) if (sl.stop - s0) > 1 else None
@@ -330,6 +343,66 @@ class VideoSwapPipeline:
                 src_crop01 * 2 - 1, src_keep, flow,
             )
             bg = self.decode_with_background(params, frames01[sl] * 2 - 1)
-            pasted = paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km)
-            out_frames.append(np.asarray(pasted))
+            pasted = np.asarray(paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km))
+            out_frames.append(pasted)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(s0, pasted)
+                manifest.mark_done(s0, pasted.shape[0], paths)
         return np.concatenate(out_frames, axis=0)
+
+def _load_png01(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def swap_video_frames_multiface(
+    pipe: VideoSwapPipeline,
+    params,
+    aux_params,
+    frames01: np.ndarray,
+    source01: np.ndarray,
+    top_k: int = 2,
+    score_threshold: float = 0.3,
+    remove_classes=None,
+) -> np.ndarray:
+    """Multi-face extension (beyond the reference, which swaps exactly one
+    face per frame): detect up to ``top_k`` faces with
+    `vface_tpu.preprocess.detector.FaceDetector` (aux_params["detector"]),
+    run the single-face pipeline on each face's landmark-aligned crop chain,
+    and composite paste-backs in ascending score order (highest score lands
+    on top). Faces below ``score_threshold`` are skipped.
+    """
+    from vface_tpu.preprocess.detector import FaceDetector, decode_detections
+
+    det = FaceDetector()
+    frames = jnp.asarray(frames01)
+    heat, size, off = det.apply({"params": aux_params["detector"]}, frames)
+    boxes, scores = decode_detections(heat, size, off, top_k=top_k)
+    boxes_np = np.asarray(boxes)
+    scores_np = np.asarray(scores)
+
+    from vface_tpu.preprocess.detector import crop_boxes
+
+    result = np.asarray(frames01).copy()
+    s = pipe.opts.image_size
+    # order faces by mean score ascending so the most confident composites last
+    order = np.argsort(scores_np.mean(axis=0))
+    for k in order:
+        if scores_np[:, k].mean() < score_threshold:
+            continue
+        # localise: detect landmarks inside the k-th box crop, map back to
+        # frame coordinates, and drive the single-face flow with them
+        box_k = boxes[:, k]  # (F, 4) cx, cy, w, h
+        crops_k = crop_boxes(frames, boxes, s)[:, k]  # (F, s, s, 3)
+        lm_crop = pipe.detect_landmarks(aux_params, crops_k)  # (F, 68, 2) in crop px
+        scale_xy = jnp.stack([box_k[:, 2], box_k[:, 3]], axis=-1) / s  # (F, 2)
+        origin = jnp.stack(
+            [box_k[:, 0] - box_k[:, 2] / 2, box_k[:, 1] - box_k[:, 3] / 2], axis=-1
+        )
+        lm_frame = lm_crop * scale_xy[:, None, :] + origin[:, None, :]
+        result = pipe.swap_video_frames(
+            params, aux_params, result, source01,
+            remove_classes=remove_classes, frame_landmarks=lm_frame,
+        )
+    return result
