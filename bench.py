@@ -1,23 +1,24 @@
 """Benchmark: swapped frames/sec/chip at 512px, 50-step DDIM (BASELINE.md north star).
 
-Times the flagship hot path on the real chip: the 3-chunk VFace denoiser step
-(full SD-v1-4 9ch UNet, bf16, FSAI injection at input-block attn1, 6-frame
-window ⇒ batch 18) — the dominant cost of the reference pipeline
-(`scripts/VFace_inference_batch.py:580-594`: 50 × 3-chunk UNet forwards per
-window, plus 50 inversion forwards).
+Measures the COMPLETE per-window device pipeline as one jitted program —
+VAE encodes, 50-step DDIM inversion, 50-step 3-chunk hooked sampling
+(CFG + TSG recon branch + FSAI at input-block attn1), VAE decode — at the
+reference video operating point (512², 6-frame window, CFG 3.0:
+`VFace_video_swap_batch.sh` / `scripts/VFace_inference_batch.py:247,502,783`).
 
-Measurement notes (tunneled-TPU backend):
-* every distinct jitted program pays a remote compile (~1 min), so the init
-  and the step are each ONE jitted program;
+Implementation notes (tunneled-TPU backend):
+* one jitted init + one jitted window program (every distinct program pays a
+  remote compile of ~1-3 min);
 * ``block_until_ready`` is a no-op on this backend — completion is forced by
   fetching a scalar with ``device_get``;
-* steps are chained (each consumes the previous latent), dispatched
-  back-to-back, and fetched once — so the tunnel round trip is amortised,
-  like the production `lax.scan` sampler.
+* the window skips the reference's dead co-inverted source chunk
+  (output-identical; see vface_tpu/pipelines/video_swap.py) and keeps the
+  inversion latent stack in HBM instead of disk.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: the torch reference path measures ≈0.30 swapped frames/s on an
-A100 at the same operating point (50-step DDIM + 3-chunk CFG batch, 512²).
+vs_baseline: the torch reference path at the same operating point measures
+≈0.30 swapped frames/s on an A100 (50-step inversion + 50-step 3-chunk
+sampling dominate; host preprocessing excluded for both sides).
 """
 
 from __future__ import annotations
@@ -32,54 +33,45 @@ A100_BASELINE_FPS = 0.30
 
 
 def main():
-    from vface_tpu.models import InjectionSpec, ModelConfig, VFaceModel
-    from vface_tpu.ops.attention import FusionConfig
+    from vface_tpu.models import ModelConfig, VFaceModel
+    from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
 
-    frames = 6  # the reference window (VFace_inference_batch.py:783-787)
-    steps = 50
     model = VFaceModel(ModelConfig.sd_v1_inpaint())
-    hl = model.cfg.latent_size
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    opts = SwapOptions()  # 50-step DDIM + 50-step inversion, 512², window 6, CFG 3.0
+    pipe = VideoSwapPipeline(model, opts)
+    f, s = opts.window, opts.image_size
     d = model.cfg.unet.context_dim
-    b = 3 * frames
 
-    @jax.jit
-    def init(rng):
-        return model.unet.init(
-            rng,
-            jnp.zeros((1, hl, hl, 9)),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 1, d)),
-        )["params"]
+    crops = jax.random.normal(jax.random.PRNGKey(1), (f, s, s, 3)) * 0.2
+    keep = jnp.ones((f, s, s, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (f, 1, d))
+    uncond = jax.random.normal(jax.random.PRNGKey(3), (f, 1, d))
+    inv_c = jax.random.normal(jax.random.PRNGKey(4), (f, 1, d))
+    c_src = jax.random.normal(jax.random.PRNGKey(5), (f, 1, d))
+    src = jax.random.normal(jax.random.PRNGKey(6), (1, s, s, 3)) * 0.2
+    src_keep = jnp.ones((1, s, s, 1))
+    flow = jax.random.normal(jax.random.PRNGKey(7), (f - 1, s, s, 2))
 
-    params = init(jax.random.PRNGKey(0))
+    def run():
+        out = pipe.swap_window(
+            params, crops, keep, cond, uncond, inv_c, c_src, src, src_keep, flow
+        )
+        return float(jax.device_get(jnp.mean(out)))
 
-    spec = InjectionSpec(input_blocks=FusionConfig("fft", split_ratio=0.8), chunks=3)
-    x9 = jax.random.normal(jax.random.PRNGKey(1), (b, hl, hl, 9), jnp.bfloat16)
-    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 1, d), jnp.bfloat16)
-
-    @jax.jit
-    def step(p, x, c, t):
-        tt = jnp.full((b,), t, jnp.int32)
-        eps = model.unet.apply({"params": p}, x, tt, c, injection=spec)
-        return x.at[..., :4].add(-0.01 * eps.astype(x.dtype))
-
-    # compile + warmup (forces init completion too)
-    x = step(params, x9, ctx, 961)
-    _ = float(jax.device_get(jnp.mean(x[..., 0].astype(jnp.float32))))
-
-    n_steps = 20  # chained dependent steps, fetched once
+    run()  # compile + warmup (forces param init too)
+    n_rep = 2
     t0 = time.perf_counter()
-    x = x9
-    for i in range(n_steps):
-        x = step(params, x, ctx, 961 - i * 19)
-    _ = float(jax.device_get(jnp.mean(x[..., 0].astype(jnp.float32))))
-    dt_step = (time.perf_counter() - t0) / n_steps
+    for _ in range(n_rep):
+        run()
+    dt = (time.perf_counter() - t0) / n_rep
 
-    fps = frames / (steps * dt_step)
+    fps = f / dt
     print(
         json.dumps(
             {
-                "metric": "swap_frames_per_sec_per_chip_512px_50step",
+                "metric": "swap_frames_per_sec_per_chip_512px_50step_e2e",
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),

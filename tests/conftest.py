@@ -30,3 +30,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def tiny_bundle():
+    """One tiny VFaceModel + params shared across the whole suite (model init
+    costs ~30-60 s on this 1-core host; pay it once)."""
+    from vface_tpu.models import ModelConfig, VFaceModel
+
+    model = VFaceModel(ModelConfig.tiny(image_size=32))
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params

@@ -25,9 +25,8 @@ def test_correspondences_identity():
     np.testing.assert_array_equal(corr[..., 1], ys)
 
 
-def test_make_prior_shapes():
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
+def test_make_prior_shapes(tiny_bundle):
+    model, params = tiny_bundle
     d = model.cfg.unet.context_dim
     tar = jax.random.normal(jax.random.PRNGKey(1), (32, 32, 3)) * 0.2
     src = jax.random.normal(jax.random.PRNGKey(2), (32, 32, 3)) * 0.2

@@ -11,9 +11,8 @@ from vface_tpu.samplers import ddim_invert, vface_sample
 
 
 @pytest.fixture(scope="module")
-def perturbed_model():
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
+def perturbed_model(tiny_bundle):
+    model, params = tiny_bundle
     leaves, td = jax.tree_util.tree_flatten(params["unet"])
     keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
     params = {

@@ -18,10 +18,8 @@ from vface_tpu.ops.attention import FusionConfig
 
 
 @pytest.fixture(scope="module")
-def tiny_model():
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
-    return model, params
+def tiny_model(tiny_bundle):
+    return tiny_bundle
 
 
 def test_vae_roundtrip_shapes(tiny_model):

@@ -16,9 +16,8 @@ from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
 
 
 @pytest.fixture(scope="module")
-def pipeline():
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
+def pipeline(tiny_bundle):
+    model, params = tiny_bundle
     opts = SwapOptions(
         ddim_steps=2, inversion_steps=2, window=3, image_size=32, parser_size=64
     )

@@ -13,9 +13,8 @@ from vface_tpu.utils.schedule import DDIMSchedule, DiffusionSchedule
 
 
 @pytest.fixture(scope="module")
-def tiny():
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
+def tiny(tiny_bundle):
+    model, params = tiny_bundle
     hl = model.cfg.latent_size
     f = 2
     d = model.cfg.unet.context_dim

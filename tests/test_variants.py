@@ -41,11 +41,10 @@ def test_dual_context_unet_forward():
     assert out.shape == (2, 16, 16, 4)
 
 
-def test_guided_sampler_runs():
+def test_guided_sampler_runs(tiny_bundle):
     from vface_tpu.samplers.guided import ddim_sample_guided
 
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
-    params = model.init(jax.random.PRNGKey(0))
+    model, params = tiny_bundle
     hl = model.cfg.latent_size
     b, d = 2, model.cfg.unet.context_dim
     rng = jax.random.PRNGKey(1)

@@ -343,12 +343,17 @@ class VideoSwapPipeline:
                 src_crop01 * 2 - 1, src_keep, flow,
             )
             bg = self.decode_with_background(params, frames01[sl] * 2 - 1)
-            pasted = np.asarray(paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km))
-            out_frames.append(pasted)
+            pasted = paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km)
             if manifest is not None and window_sink is not None:
+                # resumable mode: fetch per window so progress is durable
+                pasted = np.asarray(pasted)
                 paths = window_sink(s0, pasted)
                 manifest.mark_done(s0, pasted.shape[0], paths)
-        return np.concatenate(out_frames, axis=0)
+            # otherwise keep the device array: dispatch stays async, so the
+            # next window's host-side prep overlaps this window's compute
+            # (SURVEY §7 hard part 5); everything is fetched once at the end
+            out_frames.append(pasted)
+        return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
 
 def _load_png01(path: str) -> np.ndarray:
     from PIL import Image
