@@ -78,3 +78,35 @@ def test_halo_sharded_fgats_matches_unsharded():
         out_specs=P("data"),
     )(x, flow_padded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_swap_windows_batched_sharded(tiny_bundle):
+    """W independent windows sharded over the 8-device data axis."""
+    from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
+
+    model, params = tiny_bundle
+    opts = SwapOptions(ddim_steps=2, inversion_steps=2, window=2, image_size=32)
+    pipe = VideoSwapPipeline(model, opts)
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    W, F, S = 8, 2, 32
+    d = model.cfg.unet.context_dim
+    r = jax.random.PRNGKey(1)
+    out = pipe.swap_windows_batched(
+        params,
+        jax.random.normal(r, (W, F, S, S, 3)) * 0.2,
+        jnp.ones((W, F, S, S, 1)),
+        jax.random.normal(r, (W, F, 1, d)),
+        jax.random.normal(r, (W, F, 1, d)),
+        jax.random.normal(r, (W, F, 1, d)),
+        jax.random.normal(r, (W, F, 1, d)),
+        jax.random.normal(r, (W, 1, S, S, 3)) * 0.2,
+        jnp.ones((W, 1, S, S, 1)),
+        jax.random.normal(r, (W, F - 1, S, S, 2)),
+        mesh=mesh,
+    )
+    assert out.shape == (W, F, S, S, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    from jax.sharding import PartitionSpec as P
+
+    assert out.sharding.spec == P("data")

@@ -257,6 +257,7 @@ class VideoSwapPipeline:
         _, inv_latents = ddim_invert(
             model, params, z2, inv_c, inv_inpaint, inv_mask,
             num_steps=opts.inversion_steps, keep=f,
+            encoder_interval=opts.encoder_interval,
         )
         # The reference hardcodes start_code = ddim_latents_961.pt (:541) —
         # the SECOND-to-last inversion entry for S=50 (timesteps end at 981).
@@ -275,6 +276,47 @@ class VideoSwapPipeline:
         )
         out = model.decode_first_stage(params, z0)
         return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+
+    def swap_windows_batched(
+        self,
+        params,
+        crops_w: jax.Array,      # (W, F, S, S, 3) target crops [-1,1]
+        keep_w: jax.Array,       # (W, F, S, S, 1)
+        cond_w: jax.Array,       # (W, F, 1, D)
+        uncond_w: jax.Array,
+        inv_cond_w: jax.Array,
+        cond_src_w: jax.Array,
+        src_crop_w: jax.Array,   # (W, 1, S, S, 3)
+        src_keep_w: jax.Array,   # (W, 1, S, S, 1)
+        flow_w: jax.Array,       # (W, F-1, S, S, 2)
+        mesh=None,
+    ) -> jax.Array:
+        """Process W independent windows at once, vmapped over the window
+        axis and (optionally) sharded over the mesh's ``data`` axis.
+
+        Windows carry no cross-window state (SURVEY §5: "no cross-batch
+        temporal state"), so multi-chip inference is pure data parallelism
+        over windows: throughput scales linearly with chips (v5e-8 ⇒ 8×
+        the single-chip 0.51 frames/s). Returns (W, F, S, S, 3) in [0,1].
+        """
+        fn = jax.vmap(
+            lambda c, k, co, un, ic, cs, sc, sk, fl: self._swap_window_impl(
+                params, c, k, co, un, ic, cs, sc, sk, fl, has_flow=True
+            )
+        )
+        args = (crops_w, keep_w, cond_w, uncond_w, inv_cond_w, cond_src_w,
+                src_crop_w, src_keep_w, flow_w)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            return jax.jit(
+                fn,
+                in_shardings=(shard,) * len(args),
+                out_shardings=shard,
+            )(*jax.device_put(args, shard))
+        return jax.jit(fn)(*args)
 
     def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
         """The background-consistency trick (:611-623): encode+decode the

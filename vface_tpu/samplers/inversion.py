@@ -44,11 +44,14 @@ def ddim_invert(
     uncond: Optional[jax.Array] = None,
     cfg_scale: float = 1.0,
     keep: Optional[int] = None,
+    encoder_interval: int = 1,
 ):
     """Invert z0 → noise. Returns (x_T, latents (S, keep, h, w, 4)).
 
     latents[i] is the saved chunk at timestep ``timesteps[i]`` — exactly what
     the 3-chunk sampler consumes at its step with the same timestep.
+    ``encoder_interval > 1`` enables encoder propagation (see
+    `vface_tpu.models.unet.UNetModel`) on the inversion forwards.
     """
     sch = DDIMSchedule.create(model.schedule, num_steps)
     b = z0.shape[0]
@@ -60,24 +63,53 @@ def ddim_invert(
     use_cfg = uncond is not None and cfg_scale != 1.0
     if use_cfg:
         c_in = jnp.concatenate([uncond, cond], axis=0)
+    use_cache = encoder_interval > 1
 
-    def body(x, i):
+    def eps_of(x9, t_in, c, cache, is_key):
+        if not use_cache:
+            return model.apply_model(params, x9, t_in, c), ()
+        full = lambda xx, tt, cc: model.apply_model(
+            params, xx, tt, c, return_encoder_cache=True
+        )
+        cached = lambda xx, tt, cc: model.apply_model(
+            params, xx, tt, c, encoder_cache=cc, return_encoder_cache=True
+        )
+        return jax.lax.cond(is_key, full, cached, x9, t_in, cache)
+
+    def body(carry, i):
+        x, cache = carry
         t = jnp.full((b,), ts[i], dtype=jnp.int32)
         x9 = jnp.concatenate([x, extra], axis=-1)
+        is_key = (i % encoder_interval) == 0
         if use_cfg:
-            eps = model.apply_model(
-                params,
+            eps, cache = eps_of(
                 jnp.concatenate([x9, x9], axis=0),
                 jnp.concatenate([t, t], axis=0),
-                c_in,
+                c_in, cache, is_key,
             )
             e_uncond, e_cond = jnp.split(eps, 2, axis=0)
             e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
         else:
-            e_t = model.apply_model(params, x9, t, cond)
+            e_t, cache = eps_of(x9, t, cond, cache, is_key)
         an, ac = a_next[i], a_cur[i]
         x_next = (x - jnp.sqrt(1.0 - ac) * e_t) * jnp.sqrt(an / ac) + jnp.sqrt(1.0 - an) * e_t
-        return x_next, x_next[:keep]
+        return (x_next, cache), x_next[:keep]
 
-    x_T, latents = jax.lax.scan(body, z0.astype(jnp.float32), jnp.arange(num_steps))
+    if use_cache:
+        x90 = jnp.concatenate([z0.astype(jnp.float32), extra], axis=-1)
+        if use_cfg:
+            x90 = jnp.concatenate([x90, x90], axis=0)
+            t0 = jnp.zeros((2 * b,), jnp.int32)
+            c0 = c_in
+        else:
+            t0, c0 = jnp.zeros((b,), jnp.int32), cond
+        cache0 = jax.eval_shape(
+            lambda: model.apply_model(params, x90, t0, c0, return_encoder_cache=True)
+        )[1]
+        cache0 = jax.tree_util.tree_map(lambda sh: jnp.zeros(sh.shape, sh.dtype), cache0)
+    else:
+        cache0 = ()
+    (x_T, _), latents = jax.lax.scan(
+        body, (z0.astype(jnp.float32), cache0), jnp.arange(num_steps)
+    )
     return x_T, latents
