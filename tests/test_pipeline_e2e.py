@@ -74,3 +74,14 @@ def test_co_inversion_is_dead_compute(pipeline):
     pipe_ref.raft = pipe.raft
     out_ref = pipe_ref.swap_video_frames(params, aux_params, frames, source)
     np.testing.assert_allclose(out_fast, out_ref, atol=1e-5)
+
+
+def test_non_square_hd_frames(pipeline):
+    """Full frames need not be square or small — e.g. a 16:9 'HD-like' shape;
+    crops/paste-back handle arbitrary frame geometry (the 1080p path)."""
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(9).uniform(0, 1, (2, 72, 128, 3)).astype(np.float32)
+    source = np.random.default_rng(10).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    out = pipe.swap_video_frames(params, aux_params, frames, source)
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()

@@ -141,3 +141,40 @@ def train(
         print(f"[train] saved last.ckpt at step {step}")
         print(timer.report())
     return params
+
+
+def validate(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    params,
+    val_batches: Iterator[dict],
+    rng=None,
+    ema_params=None,
+    max_batches: int = 50,
+):
+    """Validation pass — Lightning's val loop with EMA/non-EMA loss dicts
+    (ddpm.py:507-514): evaluates `p_losses_face` without gradients for the
+    raw params and, when given, the EMA weights (`val/..._ema` keys)."""
+    from vface_tpu.pipelines.train import p_losses_face
+
+    model = VFaceModel(model_cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    loss_fn = jax.jit(
+        lambda p, batch, r: p_losses_face(model, p, batch, r, train_cfg)[1]
+    )
+    sums: dict = {}
+    counts = 0
+    for i, batch in enumerate(val_batches):
+        if i >= max_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        logs = loss_fn(params, batch_dev, sub)
+        for k, v in logs.items():
+            sums[f"val/{k}"] = sums.get(f"val/{k}", 0.0) + float(v)
+        if ema_params is not None:
+            logs_ema = loss_fn(ema_params, batch_dev, sub)
+            for k, v in logs_ema.items():
+                sums[f"val/{k}_ema"] = sums.get(f"val/{k}_ema", 0.0) + float(v)
+        counts += 1
+    return {k: v / max(counts, 1) for k, v in sums.items()}

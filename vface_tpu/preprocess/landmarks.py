@@ -30,16 +30,17 @@ from flax import linen as nn
 
 
 class LandmarkNet(nn.Module):
-    """(B, S, S, 3) in [0,1] → (B, 68, 2) pixel coords in input scale.
+    """(B, H, W, 3) in [0,1] → (B, 68, 2) pixel coords in input scale.
 
     Conv trunk at 1/8 resolution → 68 heatmaps → spatial soft-argmax.
+    Handles arbitrary (non-square) frame geometry.
     """
 
     width: int = 32
 
     @nn.compact
     def __call__(self, x):
-        b, s, _, _ = x.shape
+        b, in_h, in_w, _ = x.shape
         w = self.width
         for i, (ch, stride) in enumerate(
             [(w, 2), (w * 2, 1), (w * 2, 2), (w * 4, 1), (w * 4, 2), (w * 8, 1)]
@@ -48,17 +49,16 @@ class LandmarkNet(nn.Module):
                         param_dtype=jnp.float32, name=f"conv_{i}")(x)
             x = nn.GroupNorm(num_groups=8, name=f"gn_{i}")(x)
             x = jax.nn.relu(x)
-        heat = nn.Conv(68, (1, 1), param_dtype=jnp.float32, name="head")(x)  # (B, s/8, s/8, 68)
-        hs = heat.shape[1]
-        flat = heat.reshape(b, hs * hs, 68)
+        heat = nn.Conv(68, (1, 1), param_dtype=jnp.float32, name="head")(x)  # (B, H/8, W/8, 68)
+        hh, ww = heat.shape[1], heat.shape[2]
+        flat = heat.reshape(b, hh * ww, 68)
         prob = jax.nn.softmax(flat.astype(jnp.float32), axis=1)
-        ys = jnp.arange(hs, dtype=jnp.float32)
-        xs = jnp.arange(hs, dtype=jnp.float32)
+        ys = jnp.arange(hh, dtype=jnp.float32)
+        xs = jnp.arange(ww, dtype=jnp.float32)
         yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
         gx = jnp.einsum("bnk,n->bk", prob, xx.reshape(-1))
         gy = jnp.einsum("bnk,n->bk", prob, yy.reshape(-1))
-        scale = s / hs
-        return jnp.stack([gx, gy], axis=-1) * scale  # (B, 68, 2) in pixels
+        return jnp.stack([gx * (in_w / ww), gy * (in_h / hh)], axis=-1)  # (B, 68, 2) px
 
 
 class UNetLandmarkHead(nn.Module):
