@@ -51,12 +51,12 @@ class TrainConfig:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW + linear warmup (ldm/lr_scheduler.py:81 semantics, f 1e-6→1)."""
-    sched = optax.linear_schedule(
-        init_value=cfg.learning_rate * 1e-6,
-        end_value=cfg.learning_rate,
-        transition_steps=cfg.warmup_steps,
-    )
+    """AdamW with the reference's LambdaLinearScheduler multiplier
+    (train.yaml:23-31: 10k warmup 1e-6→1, then flat 1.0)."""
+    from vface_tpu.utils.lr_schedules import lambda_linear_schedule
+
+    mult = lambda_linear_schedule(warm_up_steps=cfg.warmup_steps)
+    sched = lambda step: cfg.learning_rate * mult(step)
     return optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
 
 
