@@ -29,6 +29,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: repeated driver runs skip the ~1-3 min
+# remote compiles (cache lives in the repo workdir).
+import os as _os
+
+jax.config.update("jax_compilation_cache_dir", _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 A100_BASELINE_FPS = 0.30
 
 

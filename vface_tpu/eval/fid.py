@@ -59,7 +59,9 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), name="b3_1")(x)
         b3 = ConvBN(96, (3, 3), padding=(1, 1), name="b3_2")(b3)
         b3 = ConvBN(96, (3, 3), padding=(1, 1), name="b3_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = nn.avg_pool(
+            x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
+        )
         bp = ConvBN(self.pool_ch, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -90,7 +92,9 @@ class InceptionC(nn.Module):
         bd = ConvBN(c, (1, 7), padding=(0, 3), name="bd_3")(bd)
         bd = ConvBN(c, (7, 1), padding=(3, 0), name="bd_4")(bd)
         bd = ConvBN(192, (1, 7), padding=(0, 3), name="bd_5")(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = nn.avg_pool(
+            x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
+        )
         bp = ConvBN(192, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -121,7 +125,9 @@ class InceptionE(nn.Module):
         bda = ConvBN(384, (1, 3), padding=(0, 1), name="bd_3a")(bd)
         bdb = ConvBN(384, (3, 1), padding=(1, 0), name="bd_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        bp = nn.avg_pool(
+            x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
+        )
         bp = ConvBN(192, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
