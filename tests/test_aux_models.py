@@ -77,3 +77,30 @@ def test_ffhq_dataset_item(tmp_path):
     assert item["mask"].shape == (32, 32, 1)
     assert item["ref_image01"].shape == (224, 224, 3)
     assert set(np.unique(item["mask"])) <= {0.0, 1.0}
+
+
+def test_vae_train_step():
+    """First-stage G/D training step runs and produces finite losses."""
+    import optax
+
+    from vface_tpu.models.vae import AutoencoderKL, VAEConfig
+    from vface_tpu.pipelines.vae_train import (
+        PatchDiscriminator,
+        VAELossConfig,
+        make_vae_train_step,
+    )
+
+    vae = AutoencoderKL(VAEConfig.tiny())
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 0.5
+    params = vae.init(jax.random.PRNGKey(1), img)["params"]
+    dp = PatchDiscriminator().init(jax.random.PRNGKey(2), img)["params"]
+    g_opt, d_opt = optax.adam(1e-4), optax.adam(1e-4)
+    gs, ds = g_opt.init(params), d_opt.init(dp)
+    step = jax.jit(make_vae_train_step(vae, g_opt, d_opt, VAELossConfig(disc_start=0)))
+    params, dp, gs, ds, logs = step(params, dp, gs, ds, img, jax.random.PRNGKey(3), 1)
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), k
+    # discriminator warmup: before disc_start the GAN term must not move G loss
+    step2 = jax.jit(make_vae_train_step(vae, g_opt, d_opt, VAELossConfig(disc_start=10**9)))
+    _, _, _, _, logs2 = step2(params, dp, gs, ds, img, jax.random.PRNGKey(4), 1)
+    assert abs(float(logs2["vae/loss"]) - (float(logs2["vae/rec"]) + 1e-6 * float(logs2["vae/kl"]))) < 1e-4
