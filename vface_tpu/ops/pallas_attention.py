@@ -179,11 +179,14 @@ def flash_attention_v2(
     k: jax.Array,
     v: jax.Array,
     num_heads: int,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """(B, N, D) self-attention; K/V held fully in VMEM per (batch, head)."""
+    """(B, N, D) self-attention; K/V held fully in VMEM per (batch, head).
+
+    Block sizes tuned on v5e at the SD shapes (N=4096, dh=40): 1024²
+    measured fastest (13.7 ms vs 14.6 einsum); ≥2048 exceeds VMEM."""
     b, nq, d = q.shape
     nk = k.shape[1]
     h = num_heads

@@ -56,6 +56,7 @@ def ddim_sample(
     test_model_kwargs path).
     """
     sch = _tables(model, num_steps, eta)
+    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     b = x_T.shape[0]
     ts = jnp.asarray(sch.timesteps)
     a = jnp.asarray(sch.alphas)

@@ -60,6 +60,7 @@ def ddim_sample_guided(
     dir_xt (ddim.py mechanism); ``grad_weight > 0`` adds the gradient nudge
     (ddim_guided.py mechanism)."""
     sch = DDIMSchedule.create(model.schedule, num_steps)
+    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     b = x_T.shape[0]
     ts = jnp.asarray(sch.timesteps)
     a = jnp.asarray(sch.alphas)

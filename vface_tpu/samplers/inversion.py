@@ -54,6 +54,7 @@ def ddim_invert(
     `vface_tpu.models.unet.UNetModel`) on the inversion forwards.
     """
     sch = DDIMSchedule.create(model.schedule, num_steps)
+    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     b = z0.shape[0]
     keep = keep if keep is not None else b
     ts = jnp.asarray(sch.timesteps)

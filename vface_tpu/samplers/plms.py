@@ -37,6 +37,7 @@ def plms_sample(
     cfg_scale: float = 3.0,
 ):
     sch = DDIMSchedule.create(model.schedule, num_steps)
+    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     b = x_T.shape[0]
     ts = jnp.asarray(sch.timesteps)
     a = jnp.asarray(sch.alphas)

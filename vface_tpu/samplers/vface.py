@@ -65,6 +65,7 @@ def vface_sample(
     Returns (z_0, pred_x0 trajectory).
     """
     sch = DDIMSchedule.create(model.schedule, num_steps)
+    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     f = x_T.shape[0]
     ts = jnp.asarray(sch.timesteps)
     a = jnp.asarray(sch.alphas)
