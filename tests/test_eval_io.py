@@ -88,3 +88,17 @@ def test_prefetch_matches_read(tmp_path):
     got = np.stack(list(iter_y4m_prefetched(p, depth=2)))
     assert got.shape == (5, 16, 16, 3)
     np.testing.assert_allclose(got, back.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_prefetch_early_close(tmp_path):
+    """Closing the prefetch iterator mid-stream shuts the producer down clean."""
+    from vface_tpu.io.video import iter_y4m_prefetched, write_y4m
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (20, 32, 32, 3), dtype=np.uint8)
+    p = str(tmp_path / "pf.y4m")
+    write_y4m(p, frames, fps=10)
+    it = iter_y4m_prefetched(p, depth=3)
+    got = [next(it) for _ in range(2)]
+    it.close()
+    assert len(got) == 2 and got[0].shape == (32, 32, 3)
