@@ -114,7 +114,11 @@ def p_losses_face(
     noise = jax.random.normal(r_noise, z0.shape)
     z_noisy = model.q_sample(z0, t, noise)
     x9 = model.build_unet_input(z_noisy, z_inpaint, mask_lat)
-    eps = model.apply_model(params, x9, t, cond)
+    need_feats = cfg.landmark_loss_weight > 0 and "landmarks" in batch
+    if need_feats:
+        eps, feats = model.apply_model(params, x9, t, cond, return_features=True)
+    else:
+        eps = model.apply_model(params, x9, t, cond)
     simple = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
     loss = cfg.l_simple_weight * jnp.mean(simple)
     logs = {"loss_simple": jnp.mean(simple)}
@@ -122,6 +126,21 @@ def p_losses_face(
         vlb = jnp.mean(vlb_weights(model)[t] * simple)
         loss = loss + cfg.original_elbo_weight * vlb
         logs["loss_vlb"] = vlb
+
+    if need_feats:
+        # optional landmark MSE from UNet features (ddpm.py:1692-1694,
+        # weight 0 in the shipped config). The reference's head consumes a
+        # 640-ch full-res feature; here the two final 64²-scale output-block
+        # activations (model_channels each) are concatenated to match width.
+        from vface_tpu.preprocess.landmarks import UNetLandmarkHead
+
+        feat = jnp.concatenate([feats[-2], feats[-1]], axis=-1)
+        params_head = params.get("landmark_head")
+        if params_head is not None:
+            pred_lm = UNetLandmarkHead().apply({"params": params_head}, feat)
+            lm_loss = jnp.mean((pred_lm - batch["landmarks"]) ** 2)
+            loss = loss + cfg.landmark_loss_weight * lm_loss
+            logs["loss_landmark"] = lm_loss
 
     # --- train-time DDIM reconstruction (ddpm.py:1696-1797) ---
     if cfg.reconstruct:
