@@ -85,3 +85,19 @@ def test_non_square_hd_frames(pipeline):
     out = pipe.swap_video_frames(params, aux_params, frames, source)
     assert out.shape == frames.shape
     assert np.isfinite(out).all()
+
+
+def test_degenerate_landmark_fallback(pipeline):
+    """Collapsed landmarks (detector failure analogue) fall back to the
+    previous frame's quad / a centred crop instead of producing NaNs
+    (reference failure handling, VFace_inference_batch.py:297-304)."""
+    import jax.numpy as jnp
+
+    pipe, params, aux_params = pipeline
+    lm_bad = jnp.ones((2, 68, 2)) * 24.0  # all landmarks at one point
+    frames = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, (2, 48, 48, 3)).astype(np.float32)
+    )
+    crops, coeffs = pipe.align_crops(aux_params, frames, landmarks=lm_bad)
+    assert np.isfinite(np.asarray(crops)).all()
+    assert np.isfinite(np.asarray(coeffs)).all()

@@ -108,18 +108,35 @@ class VideoSwapPipeline:
         """
         s = self.opts.image_size
         lm = landmarks if landmarks is not None else self.detect_landmarks(aux_params, frames01)
-        quad, _ = compute_quad(lm, scale=scale)
+        quad, qsize = compute_quad(lm, scale=scale)
+        # detection-failure fallback (VFace_inference_batch.py:297-304): a
+        # degenerate quad (near-zero extent) reuses the previous frame's quad;
+        # frame 0 falls back to a centred crop of the full frame.
+        quad_np_all = np.array(quad)  # writable copy
+        qs = np.asarray(qsize)
+        h_img, w_img = frames01.shape[1], frames01.shape[2]
+        min_q = 0.02 * min(h_img, w_img)
+        fallback = np.asarray(
+            [[0.0, 0.0], [0.0, h_img - 1.0], [w_img - 1.0, h_img - 1.0], [w_img - 1.0, 0.0]],
+            np.float32,
+        )
+        prev = fallback
+        for i in range(quad_np_all.shape[0]):
+            if qs[i] < min_q or not np.isfinite(quad_np_all[i]).all():
+                quad_np_all[i] = prev
+            else:
+                prev = quad_np_all[i]
+        quad = jnp.asarray(quad_np_all)
         crops = quad_crop(frames01, quad, s)
         # inverse transform: frame pixel → crop pixel, per frame (host solve)
-        quad_np = np.asarray(quad)
         coeffs = np.stack(
             [
                 perspective_coefficients(
                     # crop corners ↔ quad corners: map frame→crop coords
-                    quad_np[i],
+                    quad_np_all[i],
                     np.asarray([[0, 0], [0, s], [s, s], [s, 0]], np.float32),
                 )
-                for i in range(quad_np.shape[0])
+                for i in range(quad_np_all.shape[0])
             ]
         )
         return crops, jnp.asarray(coeffs)
