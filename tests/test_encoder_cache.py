@@ -62,3 +62,28 @@ def test_sampler_interval_one_unchanged(perturbed_model):
     assert np.isfinite(np.asarray(z_two)).all()
     rel = float(jnp.abs(z_two - z_ref).mean() / (jnp.abs(z_ref).mean() + 1e-8))
     assert 0 < rel < 0.5
+
+
+def test_recon_chunk_is_dead_compute(perturbed_model):
+    """Dropping the TSG recon chunk is bit-identical: the fusion donor is
+    chunk 0 for every mode (pnp_utils.py:92-200) and e_t_recon is discarded
+    (ddim_w_inv.py:668, 705-710)."""
+    model, params = perturbed_model
+    hl = model.cfg.latent_size
+    d = model.cfg.unet.context_dim
+    f = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (f, hl, hl, 4))
+    inp = jax.random.normal(jax.random.PRNGKey(2), (f, hl, hl, 4))
+    msk = jnp.ones((f, hl, hl, 1))
+    c = jax.random.normal(jax.random.PRNGKey(3), (f, 1, d))
+    u = jax.random.normal(jax.random.PRNGKey(4), (f, 1, d))
+    tc = jax.random.normal(jax.random.PRNGKey(5), (f, 1, d))
+    flow = jax.random.normal(jax.random.PRNGKey(6), (f - 1, hl, hl, 2))
+    x_T, lat = ddim_invert(model, params, x, tc, inp, msk, num_steps=4)
+    spec = InjectionSpec(
+        input_blocks=FusionConfig("flow_fix", flow_tokens=hl * hl), chunks=3
+    )
+    args = (model, params, x_T, c, u, tc, lat, inp, msk, spec)
+    z3, _ = vface_sample(*args, flow=flow, num_steps=4)
+    z2, _ = vface_sample(*args, flow=flow, num_steps=4, drop_recon_chunk=True)
+    np.testing.assert_array_equal(np.asarray(z3), np.asarray(z2))

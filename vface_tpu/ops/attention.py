@@ -54,6 +54,11 @@ class FusionConfig:
     temporal_sigma: float = 1.0
     flow_tokens: int = 4096  # flow warp applies only where N == flow_tokens
     use_circulant: bool = True  # MXU circulant path for the FFT split
+    # chunks==2 reference hooks plain-copy the donor (pnp_utils.py 2-chunk
+    # branch). Set False to apply the configured fusion op to chunk 1 instead
+    # — used by the recon-free sampler, which preserves the 3-chunk math for
+    # chunks 0/1 while dropping the dead third chunk.
+    two_chunk_replace: bool = True
 
     @property
     def active(self) -> bool:
@@ -127,7 +132,7 @@ def fuse_qkv(
     else:
         raise ValueError(f"unknown fusion mode {cfg.mode!r}")
 
-    if chunks == 2 and cfg.mode != "none":
+    if chunks == 2 and cfg.mode != "none" and cfg.two_chunk_replace:
         # 2-chunk semantics (pnp_utils.py:259-266): plain donor copy.
         qn = jnp.broadcast_to(qc[:1], qc.shape)
         kn = jnp.broadcast_to(kc[:1], kc.shape)

@@ -61,6 +61,10 @@ class SwapOptions:
     # literal reference inversion batch (co-inverted source is dead compute;
     # see _swap_window_impl) — off by default for 2x cheaper inversion
     co_invert_source: bool = False
+    # literal reference 3-chunk sampling batch (the TSG recon chunk is inert
+    # in the active runtime; dropping it is bit-identical — see
+    # vface_tpu.samplers.vface) — off by default for 1/3 cheaper sampling
+    keep_recon_chunk: bool = False
     # encoder propagation interval for the sampling loop (1 = exact)
     encoder_interval: int = 1
 
@@ -290,6 +294,7 @@ class VideoSwapPipeline:
             inv_latents, z_inpaint, mask_lat, self.injection, flow=flow_q,
             num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale, eta=opts.eta,
             encoder_interval=opts.encoder_interval,
+            drop_recon_chunk=not opts.keep_recon_chunk,
         )
         out = model.decode_first_stage(params, z0)
         return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)

@@ -26,6 +26,7 @@ ddim_w_inv.py:186-355, 621-738`), as one jitted `lax.scan`:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -55,6 +56,7 @@ def vface_sample(
     src_start: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     encoder_interval: int = 1,
+    drop_recon_chunk: bool = False,
 ):
     """Run the hooked 3-chunk sampling loop.
 
@@ -75,17 +77,37 @@ def vface_sample(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
-    c_in = jnp.concatenate([uncond, cond, target_cond], axis=0)
+    # The recon (TSG) chunk is inert in the reference's active runtime: the
+    # fusion donor is chunk 0 for every mode (pnp_utils.py:92-200 — chunk 2
+    # only RECEIVES fusion), and e_t_recon / x_prev_recon are discarded
+    # (ddim_w_inv.py:668, 705-710 — never returned). Dropping it is therefore
+    # bit-identical for chunks 0/1 and removes a third of the sampling
+    # compute (verified by test_recon_chunk_is_dead_compute). The fusion
+    # config must keep the 3-chunk op semantics on the 2-chunk batch.
+    if drop_recon_chunk:
+        injection = dataclasses.replace(
+            injection,
+            input_blocks=dataclasses.replace(injection.input_blocks, two_chunk_replace=False),
+            middle=dataclasses.replace(injection.middle, two_chunk_replace=False),
+            output_blocks=dataclasses.replace(injection.output_blocks, two_chunk_replace=False),
+            chunks=2,
+        )
+        c_in = jnp.concatenate([uncond, cond], axis=0)
+    else:
+        c_in = jnp.concatenate([uncond, cond, target_cond], axis=0)
 
     def unet_inputs(x, index):
         t = jnp.full((f,), ts[index], dtype=jnp.int32)
-        inv_t = inv_latents[index]
         x_u = x if src_start is None else src_start
         x9 = jnp.concatenate([x, extra], axis=-1)
         xu9 = jnp.concatenate([x_u, extra], axis=-1)
-        inv9 = jnp.concatenate([inv_t, extra], axis=-1)
-        x_in = jnp.concatenate([x9, xu9, inv9], axis=0)
-        t_in = jnp.concatenate([t, t, t], axis=0)
+        if drop_recon_chunk:
+            x_in = jnp.concatenate([x9, xu9], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+        else:
+            inv9 = jnp.concatenate([inv_latents[index], extra], axis=-1)
+            x_in = jnp.concatenate([x9, xu9, inv9], axis=0)
+            t_in = jnp.concatenate([t, t, t], axis=0)
         return x_in, t_in
 
     use_cache = encoder_interval > 1
@@ -113,7 +135,10 @@ def vface_sample(
             eps, cache = jax.lax.cond(is_key, eps_full, eps_cached, x_in, t_in, cache)
         else:
             eps = model.apply_model(params, x_in, t_in, c_in, flow=flow, injection=injection)
-        e_uncond, e_cond, e_recon = jnp.split(eps, 3, axis=0)
+        if drop_recon_chunk:
+            e_uncond, e_cond = jnp.split(eps, 2, axis=0)
+        else:
+            e_uncond, e_cond, _e_recon = jnp.split(eps, 3, axis=0)
         e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape, jnp.float32)
