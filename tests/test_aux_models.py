@@ -104,3 +104,34 @@ def test_vae_train_step():
     step2 = jax.jit(make_vae_train_step(vae, g_opt, d_opt, VAELossConfig(disc_start=10**9)))
     _, _, _, _, logs2 = step2(params, dp, gs, ds, img, jax.random.PRNGKey(4), 1)
     assert abs(float(logs2["vae/loss"]) - (float(logs2["vae/rec"]) + 1e-6 * float(logs2["vae/kl"]))) < 1e-4
+
+
+def test_trainable_mask_matches_reference(tiny_bundle):
+    """Frozen set per ddpm.py:2175-2220 + the CLIP freeze list: VAE, ArcFace
+    and the CLIP vision tower stay fixed; UNet + heads train."""
+    import optax
+
+    from vface_tpu.pipelines.train import TrainConfig, make_optimizer, trainable_mask
+
+    model, params = tiny_bundle
+    mask = trainable_mask(params)
+    assert not any(jax.tree_util.tree_leaves(mask["vae"]))
+    assert not any(jax.tree_util.tree_leaves(mask["cond"]["arcface"]))
+    assert not any(jax.tree_util.tree_leaves(mask["cond"]["clip_encoder"]["vision"]))
+    assert all(jax.tree_util.tree_leaves(mask["unet"]))
+    assert all(jax.tree_util.tree_leaves(mask["cond"]["clip_encoder"]["final_ln2"]))
+    assert mask["cond"]["learnable_vector"]
+    # partial-UNet filter: only attn2/norm2 params (ddpm.py partial training)
+    pm = trainable_mask(params, partial_unet=True)
+    leaves = jax.tree_util.tree_flatten_with_path(pm["unet"])[0]
+    for kp, v in leaves:
+        names = [getattr(p, "key", "") for p in kp]
+        expect = any(n in ("attn2", "norm2") for n in names)
+        assert v == expect, names
+    # frozen leaves receive zero updates through the optimizer
+    tx = make_optimizer(TrainConfig(), params)
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    ups, _ = tx.update(grads, st, params)
+    assert float(jnp.abs(ups["vae"]["encoder"]["conv_in"]["Conv_0"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(ups["unet"]["conv_in"]["Conv_0"]["kernel"]).max()) > 0.0

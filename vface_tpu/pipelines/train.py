@@ -50,14 +50,58 @@ class TrainConfig:
     weight_decay: float = 1e-2
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def trainable_mask(params, partial_unet: bool = False):
+    """True where the reference optimizes (ddpm.py:2175-2220 + the
+    FrozenCLIPEmbedder freeze list, modules.py:236-251): the full UNet (or
+    only its attn2/norm2 params when ``partial_unet``), the CLIP mapper2 +
+    final_ln2, the LDM conditioning heads and the learnable uncond vector.
+    VAE, ArcFace, the CLIP vision tower and visual_projection stay frozen."""
+
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", None) for p in path]
+        top = keys[0]
+        if top == "vae":
+            return False
+        if top == "unet":
+            if not partial_unet:
+                return True
+            return any(k in ("attn2", "norm2") for k in keys if isinstance(k, str))
+        if top == "cond":
+            sub = keys[1]
+            if sub == "arcface":
+                return False
+            if sub == "clip_encoder":
+                inner = keys[2]
+                return isinstance(inner, str) and (
+                    inner.startswith("mapper2") or inner == "final_ln2"
+                )
+            return True  # proj_out_*, id_proj_out, landmark_proj_out, learnable_vector
+        return True  # e.g. landmark_head
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves = [decide(kp) for kp, _ in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def make_optimizer(
+    cfg: TrainConfig, params=None, partial_unet: bool = False
+) -> optax.GradientTransformation:
     """AdamW with the reference's LambdaLinearScheduler multiplier
-    (train.yaml:23-31: 10k warmup 1e-6→1, then flat 1.0)."""
+    (train.yaml:23-31: 10k warmup 1e-6→1, then flat 1.0). When ``params`` is
+    given, updates are masked to the reference's trainable set — frozen
+    sub-nets get zero updates and no optimizer state."""
     from vface_tpu.utils.lr_schedules import lambda_linear_schedule
 
     mult = lambda_linear_schedule(warm_up_steps=cfg.warmup_steps)
     sched = lambda step: cfg.learning_rate * mult(step)
-    return optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
+    tx = optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
+    if params is None:
+        return tx
+    mask = trainable_mask(params, partial_unet)
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    # NB optax.masked passes raw gradients through unmasked leaves (it does
+    # NOT zero them) — multi_transform with set_to_zero is the freezing tool.
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def vlb_weights(model: VFaceModel) -> jnp.ndarray:

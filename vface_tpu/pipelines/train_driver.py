@@ -80,7 +80,7 @@ def train(
         print(f"[train] scaled lr to {lr:.2e} ({n} shards × bs {driver_cfg.batch_size})")
 
     params = init_params if init_params is not None else model.init(rng)
-    optimizer = make_optimizer(train_cfg)
+    optimizer = make_optimizer(train_cfg, params)  # reference trainable set
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer, train_cfg, perceptual_fn)
 
