@@ -110,3 +110,42 @@ def test_swap_windows_batched_sharded(tiny_bundle):
     from jax.sharding import PartitionSpec as P
 
     assert out.sharding.spec == P("data")
+
+
+def test_zero1_train_step(tiny_bundle):
+    """Adam moments shard over the data axis; the sharded train step runs."""
+    from vface_tpu.parallel.mesh import zero1_sharding
+    from vface_tpu.pipelines.train import TrainConfig, make_optimizer, make_train_step
+
+    model, params0 = tiny_bundle
+    mesh = make_mesh()
+    tcfg = TrainConfig(reconstruct_steps=2, warmup_steps=10)
+    opt = make_optimizer(tcfg, params0)
+    opt_state = opt.init(params0)
+    oss = zero1_sharding(mesh, opt_state)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params0, repl)
+    opt_state = jax.device_put(opt_state, oss)
+    step = jax.jit(
+        make_train_step(model, opt, tcfg),
+        in_shardings=(repl, oss, shard, repl),
+        out_shardings=(repl, oss, repl),
+    )
+    b = 8
+    sz = model.cfg.cond.clip.image_size
+    batch = jax.device_put(
+        {
+            "gt_image": jnp.zeros((b, 32, 32, 3)),
+            "inpaint": jnp.zeros((b, 32, 32, 3)),
+            "mask": jnp.ones((b, 32, 32, 1)),
+            "ref_clip": jnp.zeros((b, sz, sz, 3)),
+            "ref_face01": jnp.zeros((b, 112, 112, 3)),
+            "landmarks": jnp.zeros((b, 136)),
+        },
+        shard,
+    )
+    params, opt_state, logs = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    leaves = [l for l in jax.tree_util.tree_leaves(opt_state) if hasattr(l, "ndim") and l.ndim >= 2]
+    assert any(l.sharding.spec != P() for l in leaves)

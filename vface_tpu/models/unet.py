@@ -343,7 +343,12 @@ class UNetModel(nn.Module):
                 ch, cfg.context_dim, cfg.num_heads, cfg.transformer_depth,
                 dtype=dtype, use_flash=cfg.use_flash, name=name,
             )
-            return st(h, context, inj.for_site(site), inj.chunks, flow)
+            fus = inj.for_site(site)
+            if cfg.use_remat:
+                return nn.remat(lambda m, a, c, fl: m(a, c, fus, inj.chunks, fl))(
+                    st, h, context, flow
+                )
+            return st(h, context, fus, inj.chunks, flow)
 
         ds = 1
         if encoder_cache is None:

@@ -186,7 +186,47 @@ def flash_attention_v2(
     """(B, N, D) self-attention; K/V held fully in VMEM per (batch, head).
 
     Block sizes tuned on v5e at the SD shapes (N=4096, dh=40): 1024²
-    measured fastest (13.7 ms vs 14.6 einsum); ≥2048 exceeds VMEM."""
+    measured fastest (13.7 ms vs 14.6 einsum); ≥2048 exceeds VMEM.
+
+    Differentiable: the Pallas kernel has no reverse-mode rule, so a custom
+    VJP recomputes the attention with the einsum path for the backward
+    (forward values are numerically identical; training-time memory matches
+    the plain path under remat)."""
+    return _flash_v2_diff(q, k, v, num_heads, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_v2_diff(q, k, v, num_heads, block_q, block_k, interpret):
+    return _flash_v2_impl(q, k, v, num_heads, block_q, block_k, interpret)
+
+
+def _flash_v2_fwd(q, k, v, num_heads, block_q, block_k, interpret):
+    return _flash_v2_impl(q, k, v, num_heads, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_v2_bwd(num_heads, block_q, block_k, interpret, res, g):
+    from vface_tpu.ops.attention import multi_head_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: multi_head_attention(q_, k_, v_, num_heads, dtype=q_.dtype),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_flash_v2_diff.defvjp(_flash_v2_fwd, _flash_v2_bwd)
+
+
+def _flash_v2_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
     b, nq, d = q.shape
     nk = k.shape[1]
     h = num_heads

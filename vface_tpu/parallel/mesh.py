@@ -107,3 +107,25 @@ def align_by_flow_sharded(
     idx = jax.lax.axis_index(axis_name)
     is_first = (jnp.arange(x.shape[0]) == 0) & (idx == 0)
     return jnp.where(is_first[:, None, None, None], x, blended)
+
+
+def zero1_sharding(mesh: Mesh, tree, axis_name: str = "data"):
+    """ZeRO-1-style sharding pytree for optimizer state: each array leaf is
+    sharded along its largest axis divisible by the mesh's ``axis_name`` size,
+    replicated otherwise. Gradients stay data-parallel; only the Adam moments
+    (the dominant training-memory term — ~2x the trainable params) spread
+    across chips. Build with `tree` = the optimizer state and pass the result
+    as jit ``out_shardings`` / `jax.device_put` shardings.
+    """
+    n = mesh.shape[axis_name]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if shape[i] % n == 0 and shape[i] >= n:
+                spec = [None] * len(shape)
+                spec[i] = axis_name
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)

@@ -84,14 +84,17 @@ def train(
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer, train_cfg, perceptual_fn)
 
+    from vface_tpu.parallel.mesh import zero1_sharding
+
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
+    oss = zero1_sharding(mesh, opt_state)  # ZeRO-1: Adam moments shard over data
     params = jax.device_put(params, repl)
-    opt_state = jax.device_put(opt_state, repl)
+    opt_state = jax.device_put(opt_state, oss)
     jit_step = jax.jit(
         step_fn,
-        in_shardings=(repl, repl, shard, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(repl, oss, shard, repl),
+        out_shardings=(repl, oss, repl),
         donate_argnums=(0, 1),
     )
 
