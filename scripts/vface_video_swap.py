@@ -116,17 +116,35 @@ def main():
             print(f"[skip] {name}: output exists")
             continue
         manifest = VideoProgressManifest(out_base + ".manifest.json")
+        frame_dir = out_base + "_frames"
+        os.makedirs(frame_dir, exist_ok=True)
+
+        def window_sink(s0, pasted01):
+            # durable per-window outputs: a preempted run resumes by skipping
+            # completed windows (reference latent-cache idempotency, :529-543)
+            paths = []
+            for j, fr in enumerate(pasted01):
+                p = os.path.join(frame_dir, f"{s0 + j}.png")
+                Image.fromarray((np.clip(fr, 0, 1) * 255).astype(np.uint8)).save(p)
+                paths.append(p)
+            return paths
+
         try:
             frames01, fps = load_frames(pair["video"])
             source01 = np.asarray(
                 Image.open(pair["source"]).convert("RGB"), np.float32
             ) / 255.0
-            swapped = pipe.swap_video_frames(params, aux_params, frames01, source01)
+            swapped = pipe.swap_video_frames(
+                params, aux_params, frames01, source01,
+                manifest=manifest, window_sink=window_sink,
+            )
             u8 = (np.clip(swapped, 0, 1) * 255).astype(np.uint8)
             write_avi(out_base + ".avi", u8, fps=args.fps)
             write_y4m(out_base + ".y4m", u8, fps=args.fps)
             write_gif(out_base + ".gif", u8, fps=args.fps)
-            manifest.mark_done(0, len(u8), [out_base + ".avi"])
+            # per-window completion is recorded by window_sink inside the
+            # pipeline; no whole-video mark (it would clobber window 0's
+            # frame list and break resume)
             print(f"[done] {name}: {len(u8)} frames")
         except Exception as e:  # per-video skip, like the reference (:905-906)
             print(f"[fail] {name}: {type(e).__name__}: {e}")
