@@ -132,12 +132,15 @@ def p_losses_face(
     ref_face01  (B, 112·k, ·, 3) [0,1] reference for ArcFace
     landmarks   (B, 136)
     """
-    r_t, r_noise, r_drop, r_recon = jax.random.split(rng, 4)
+    r_t, r_noise, r_drop, r_recon, r_enc0, r_enc1 = jax.random.split(rng, 6)
     b = batch["gt_image"].shape[0]
 
     # --- latents (ddpm.py:1191-1216) ---
-    z0 = model.encode_first_stage(params, batch["gt_image"])
-    z_inpaint = model.encode_first_stage(params, batch["inpaint"])
+    # the reference trains on SAMPLED posteriors (get_first_stage_encoding
+    # uses encoder_posterior.sample(), ddpm.py:850-857); mode() is the
+    # inference-time behavior only.
+    z0 = model.encode_first_stage_sample(params, batch["gt_image"], r_enc0)
+    z_inpaint = model.encode_first_stage_sample(params, batch["inpaint"], r_enc1)
     hl = z0.shape[1]
     mask_lat = jax.image.resize(batch["mask"], (b, hl, hl, 1), method="bilinear")
 

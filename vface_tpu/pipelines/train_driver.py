@@ -139,9 +139,27 @@ def train(
                     {"params": params}, step, float(logs.get("loss_simple", 0.0))
                 )
     finally:
-        # melk(): persist last state on any exit path (main.py:731-756)
-        ckpt.save_last({"params": params, "opt_state": opt_state}, step)
-        print(f"[train] saved last.ckpt at step {step}")
+        # melk(): persist last state on any exit path (main.py:731-756).
+        # params/opt_state are DONATED into jit_step — if the step itself
+        # raised (OOM/preemption, the exact case melk protects against) the
+        # buffers bound to these names are already deleted; saving them would
+        # raise and lose the exception-save entirely. Only save when the
+        # state is alive; otherwise the last periodic checkpoint stands.
+        def _alive(tree) -> bool:
+            return all(
+                not getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(tree)
+            )
+
+        if _alive(params) and _alive(opt_state):
+            ckpt.save_last({"params": params, "opt_state": opt_state}, step)
+            print(f"[train] saved last.ckpt at step {step}")
+        else:
+            last_periodic = (step // driver_cfg.ckpt_every) * driver_cfg.ckpt_every
+            print(
+                "[train] state was donated to a failed step; last.ckpt from "
+                f"step {last_periodic} stands (in-flight step {step} lost)"
+            )
         print(timer.report())
     return params
 

@@ -78,15 +78,33 @@ class VideoProgressManifest:
     (tmp + rename).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, meta: Optional[Dict[str, Any]] = None):
+        """``meta`` fingerprints the run configuration (window size, steps,
+        scale, …). Resuming with a *different* config must not silently stitch
+        windows produced under two operating points into one output — on a
+        meta mismatch the stale manifest is discarded and the run starts
+        fresh (the reference has no such guard; its latent caches are keyed
+        by directory only, VFace_inference_batch.py:529-543)."""
         self.path = path
-        self.data: Dict[str, Any] = {"windows": {}, "created": time.time()}
+        self.data: Dict[str, Any] = {
+            "windows": {},
+            "created": time.time(),
+            "meta": meta or {},
+        }
         if os.path.exists(path):
             with open(path) as f:
-                self.data = json.load(f)
+                loaded = json.load(f)
+            loaded.setdefault("windows", {})
+            if meta is not None and loaded.get("meta", {}) != meta:
+                print(
+                    f"[manifest] {path}: config changed "
+                    f"({loaded.get('meta', {})} -> {meta}); discarding stale progress"
+                )
+            else:
+                self.data = loaded
 
     def is_done(self, window_start: int) -> bool:
-        return str(window_start) in self.data["windows"]
+        return str(window_start) in self.data.get("windows", {})
 
     def mark_done(self, window_start: int, n_frames: int, output_paths: List[str]) -> None:
         self.data["windows"][str(window_start)] = {
@@ -100,7 +118,7 @@ class VideoProgressManifest:
         os.replace(tmp, self.path)
 
     def completed_frames(self) -> int:
-        return sum(w["frames"] for w in self.data["windows"].values())
+        return sum(w["frames"] for w in self.data.get("windows", {}).values())
 
 
 def save_params_npz(path: str, params) -> None:
