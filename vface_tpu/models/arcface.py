@@ -73,8 +73,10 @@ class BottleneckIRSE(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        if in_ch == self.depth and self.stride == 1:
-            shortcut = x
+        if in_ch == self.depth:
+            # reference shortcut is MaxPool2d(kernel=1, stride) even when
+            # strided (helpers.py:100-101) — a pure subsample, NOT a conv
+            shortcut = x if self.stride == 1 else x[:, :: self.stride, :: self.stride, :]
         else:
             shortcut = nn.Conv(
                 self.depth, (1, 1), strides=(self.stride, self.stride), use_bias=False,

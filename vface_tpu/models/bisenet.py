@@ -88,8 +88,31 @@ class AttentionRefinement(nn.Module):
         return feat * atten
 
 
-def _resize_to(x, h, w):
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+def _resize_nearest(x, h, w):
+    """Context-path upsample: F.interpolate(mode='nearest') (model.py:123, 128)."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="nearest")
+
+
+def _resize_bilinear_align_corners(x, h, w):
+    """Bilinear with align_corners=True — the reference's final logits
+    upsample (model.py:258). jax.image.resize is half-pixel (align_corners
+    =False), so the corner-aligned grid is gathered explicitly."""
+    b, ih, iw, c = x.shape
+    if (ih, iw) == (h, w):
+        return x
+    ys = jnp.linspace(0.0, ih - 1.0, h) if h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, iw - 1.0, w) if w > 1 else jnp.zeros((1,))
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, ih - 1)
+    x1 = jnp.minimum(x0 + 1, iw - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    r0 = x[:, y0]
+    r1 = x[:, y1]
+    top = r0[:, :, x0] * (1 - wx) + r0[:, :, x1] * wx
+    bot = r1[:, :, x0] * (1 - wx) + r1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class ContextPath(nn.Module):
@@ -106,12 +129,12 @@ class ContextPath(nn.Module):
 
         feat32_arm = AttentionRefinement(128, name="arm32")(feat32)
         feat32_sum = feat32_arm + avg_up
-        feat32_up = _resize_to(feat32_sum, h16, w16)
+        feat32_up = _resize_nearest(feat32_sum, h16, w16)
         feat32_up = ConvBNReLU(128, 3, name="conv_head32")(feat32_up)
 
         feat16_arm = AttentionRefinement(128, name="arm16")(feat16)
         feat16_sum = feat16_arm + feat32_up
-        feat16_up = _resize_to(feat16_sum, h8, w8)
+        feat16_up = _resize_nearest(feat16_sum, h8, w8)
         feat16_up = ConvBNReLU(128, 3, name="conv_head16")(feat16_up)
 
         return feat8, feat16_up, feat32_up
@@ -153,7 +176,7 @@ class BiSeNet(nn.Module):
         feat_res8, feat_cp8, _ = ContextPath(name="cp")(x)
         fused = FeatureFusion(256, name="ffm")(feat_res8, feat_cp8)
         out = BiSeNetOutput(256, self.n_classes, name="conv_out")(fused)
-        return _resize_to(out, hh, ww)
+        return _resize_bilinear_align_corners(out, hh, ww)
 
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)

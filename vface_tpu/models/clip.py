@@ -132,7 +132,8 @@ class MapperBlock(nn.Module):
         x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(h)
         h = LayerNormF32(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
-        h = jax.nn.gelu(h.astype(jnp.float32)).astype(self.dtype)
+        # exact (erf) GELU: xf.py MLP uses nn.GELU() default (xf.py:48-57)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
         h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
         return x + h
 

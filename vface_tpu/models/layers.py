@@ -51,23 +51,33 @@ class GroupNorm32(nn.Module):
 
 
 class Conv(nn.Module):
-    """3x3/1x1 conv, NHWC, optional zero-init (the reference's zero_module)."""
+    """3x3/1x1 conv, NHWC, optional zero-init (the reference's zero_module).
+
+    Default padding is TORCH semantics — symmetric (k-1)//2 on both sides,
+    like ``torch.nn.Conv2d(padding=k//2)``. This matters for stride-2 convs:
+    XLA/flax ``"SAME"`` pads (0, 1) there, sampling a grid shifted by one
+    pixel vs the reference (caught by tests/test_reference_parity.py).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
-    padding: Any = "SAME"
+    padding: Any = "TORCH"
     zero_init: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        pad = self.padding
+        if pad == "TORCH":
+            p = (self.kernel - 1) // 2
+            pad = ((p, p), (p, p))
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=self.padding,
+            padding=pad,
             kernel_init=init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
