@@ -165,42 +165,86 @@ extern "C" void vf_y4m_close_writer(VfY4mWriter* w) {
 
 // ----------------------------------------------------------------- AVI write
 
+struct AviChunkRec {
+  char tag[4];
+  uint32_t offset;  // from start of 'movi' data (after the "movi" fourcc)
+  uint32_t size;
+};
+
 struct VfAviWriter {
   FILE* f = nullptr;
   int w = 0, h = 0, fps = 30;
+  // audio stream (0 sample_rate = video only)
+  int sr = 0, ch = 0, bits = 16;
   uint32_t nframes = 0;
+  uint32_t audio_bytes = 0;
   long movi_start = 0;
-  std::vector<uint32_t> offsets;  // for idx1
+  long pos_riff_size = 0, pos_total_frames = 0, pos_vid_length = 0;
+  long pos_aud_length = 0, pos_movi_size = 0;
+  std::vector<AviChunkRec> chunks;  // for idx1
   std::vector<uint8_t> bgr;
 };
 
-extern "C" VfAviWriter* vf_avi_create(const char* path, int w, int h, int fps) {
+namespace {
+
+void write_chunk(VfAviWriter* a, const char* tag, const uint8_t* data,
+                 uint32_t n) {
+  AviChunkRec rec;
+  std::memcpy(rec.tag, tag, 4);
+  rec.offset = (uint32_t)(std::ftell(a->f) - a->movi_start + 4);
+  rec.size = n;
+  a->chunks.push_back(rec);
+  std::vector<uint8_t> ck;
+  put_tag(ck, tag);
+  put_le32(ck, n);
+  std::fwrite(ck.data(), 1, ck.size(), a->f);
+  std::fwrite(data, 1, n, a->f);
+  if (n & 1) std::fputc(0, a->f);  // RIFF chunks are word-aligned
+}
+
+}  // namespace
+
+extern "C" VfAviWriter* vf_avi_create2(const char* path, int w, int h, int fps,
+                                       int sample_rate, int channels,
+                                       int bits_per_sample) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return nullptr;
   auto* a = new VfAviWriter;
   a->f = f; a->w = w; a->h = h; a->fps = fps;
+  a->sr = sample_rate; a->ch = channels > 0 ? channels : 1;
+  a->bits = bits_per_sample > 0 ? bits_per_sample : 16;
   a->bgr.resize((size_t)w * h * 3);
+  const bool audio = sample_rate > 0;
+  const uint32_t block_align = (uint32_t)(a->ch * (a->bits / 8));
 
-  // RIFF header with placeholder sizes, fixed up in vf_avi_finish.
+  // Header with placeholder sizes; fixup positions are recorded as the
+  // header is emitted (no magic offsets).
   std::vector<uint8_t> hd;
-  put_tag(hd, "RIFF"); put_le32(hd, 0); put_tag(hd, "AVI ");
-  put_tag(hd, "LIST"); put_le32(hd, 4 + 64 + 124); put_tag(hd, "hdrl");
+  auto mark = [&]() { return (long)hd.size(); };
+  long m_riff, m_frames, m_vlen, m_alen = 0;
+
+  put_tag(hd, "RIFF"); m_riff = mark(); put_le32(hd, 0); put_tag(hd, "AVI ");
+  const uint32_t strl_vid = 4 + 8 + 56 + 8 + 40;          // "strl"+strh+strf
+  const uint32_t strl_aud = audio ? (4 + 8 + 56 + 8 + 16) : 0;
+  uint32_t hdrl = 4 + 8 + 56 + 8 + strl_vid + (audio ? 8 + strl_aud : 0);
+  put_tag(hd, "LIST"); put_le32(hd, hdrl); put_tag(hd, "hdrl");
   // avih
   put_tag(hd, "avih"); put_le32(hd, 56);
-  put_le32(hd, 1000000u / (uint32_t)fps);           // us per frame
+  put_le32(hd, 1000000u / (uint32_t)fps);            // us per frame
   put_le32(hd, (uint32_t)((size_t)w * h * 3 * fps)); // max bytes/sec
   put_le32(hd, 0); put_le32(hd, 0x10 /* HASINDEX */);
-  put_le32(hd, 0 /* frames, fixup */); put_le32(hd, 0);
-  put_le32(hd, 1 /* streams */); put_le32(hd, (uint32_t)((size_t)w * h * 3));
+  m_frames = mark(); put_le32(hd, 0 /* frames, fixup */); put_le32(hd, 0);
+  put_le32(hd, audio ? 2 : 1 /* streams */);
+  put_le32(hd, (uint32_t)((size_t)w * h * 3));
   put_le32(hd, (uint32_t)w); put_le32(hd, (uint32_t)h);
   put_le32(hd, 0); put_le32(hd, 0); put_le32(hd, 0); put_le32(hd, 0);
-  // strl list
-  put_tag(hd, "LIST"); put_le32(hd, 116); put_tag(hd, "strl");
+  // video strl
+  put_tag(hd, "LIST"); put_le32(hd, strl_vid); put_tag(hd, "strl");
   put_tag(hd, "strh"); put_le32(hd, 56);
   put_tag(hd, "vids"); put_tag(hd, "DIB ");
   put_le32(hd, 0); put_le16(hd, 0); put_le16(hd, 0);
   put_le32(hd, 0); put_le32(hd, 1); put_le32(hd, (uint32_t)fps);
-  put_le32(hd, 0); put_le32(hd, 0 /* length, fixup */);
+  put_le32(hd, 0); m_vlen = mark(); put_le32(hd, 0 /* length, fixup */);
   put_le32(hd, (uint32_t)((size_t)w * h * 3)); put_le32(hd, 0xFFFFFFFF);
   put_le32(hd, 0); put_le16(hd, 0); put_le16(hd, (uint16_t)w);
   put_le16(hd, 0); put_le16(hd, (uint16_t)h);
@@ -209,11 +253,40 @@ extern "C" VfAviWriter* vf_avi_create(const char* path, int w, int h, int fps) {
   put_le16(hd, 1); put_le16(hd, 24); put_le32(hd, 0 /* BI_RGB */);
   put_le32(hd, (uint32_t)((size_t)w * h * 3));
   put_le32(hd, 0); put_le32(hd, 0); put_le32(hd, 0); put_le32(hd, 0);
+  if (audio) {
+    // audio strl: PCM ('auds' + WAVEFORMATEX without cbSize)
+    put_tag(hd, "LIST"); put_le32(hd, strl_aud); put_tag(hd, "strl");
+    put_tag(hd, "strh"); put_le32(hd, 56);
+    put_tag(hd, "auds"); put_le32(hd, 0 /* handler */);
+    put_le32(hd, 0); put_le16(hd, 0); put_le16(hd, 0);
+    put_le32(hd, 0);
+    put_le32(hd, block_align /* dwScale */);
+    put_le32(hd, (uint32_t)sample_rate * block_align /* dwRate */);
+    put_le32(hd, 0); m_alen = mark(); put_le32(hd, 0 /* length, fixup */);
+    put_le32(hd, block_align * (uint32_t)sample_rate /* suggested buf */);
+    put_le32(hd, 0xFFFFFFFF); put_le32(hd, block_align /* dwSampleSize */);
+    put_le16(hd, 0); put_le16(hd, 0); put_le16(hd, 0); put_le16(hd, 0);
+    put_tag(hd, "strf"); put_le32(hd, 16);
+    put_le16(hd, 1 /* WAVE_FORMAT_PCM */); put_le16(hd, (uint16_t)a->ch);
+    put_le32(hd, (uint32_t)sample_rate);
+    put_le32(hd, (uint32_t)sample_rate * block_align);
+    put_le16(hd, (uint16_t)block_align); put_le16(hd, (uint16_t)a->bits);
+  }
   // movi list
-  put_tag(hd, "LIST"); put_le32(hd, 0 /* fixup */); put_tag(hd, "movi");
+  put_tag(hd, "LIST"); long m_movi = mark(); put_le32(hd, 0 /* fixup */);
+  put_tag(hd, "movi");
   std::fwrite(hd.data(), 1, hd.size(), f);
   a->movi_start = std::ftell(f);
+  a->pos_riff_size = m_riff;
+  a->pos_total_frames = m_frames;
+  a->pos_vid_length = m_vlen;
+  a->pos_aud_length = m_alen;
+  a->pos_movi_size = m_movi;
   return a;
+}
+
+extern "C" VfAviWriter* vf_avi_create(const char* path, int w, int h, int fps) {
+  return vf_avi_create2(path, w, h, fps, 0, 0, 0);
 }
 
 extern "C" int vf_avi_write_rgb(VfAviWriter* a, const uint8_t* rgb) {
@@ -227,24 +300,29 @@ extern "C" int vf_avi_write_rgb(VfAviWriter* a, const uint8_t* rgb) {
       dst[3 * i + 2] = src[3 * i + 0];
     }
   }
-  a->offsets.push_back((uint32_t)(std::ftell(a->f) - a->movi_start + 4));
-  std::vector<uint8_t> ck;
-  put_tag(ck, "00db"); put_le32(ck, (uint32_t)a->bgr.size());
-  std::fwrite(ck.data(), 1, ck.size(), a->f);
-  std::fwrite(a->bgr.data(), 1, a->bgr.size(), a->f);
+  write_chunk(a, "00db", a->bgr.data(), (uint32_t)a->bgr.size());
   a->nframes++;
+  return 1;
+}
+
+extern "C" int vf_avi_write_audio(VfAviWriter* a, const uint8_t* pcm,
+                                  uint32_t nbytes) {
+  if (a->sr <= 0 || nbytes == 0) return 0;
+  write_chunk(a, "01wb", pcm, nbytes);
+  a->audio_bytes += nbytes;
   return 1;
 }
 
 extern "C" int vf_avi_finish(VfAviWriter* a) {
   long movi_end = std::ftell(a->f);
-  // idx1
+  // idx1 covers every chunk (video + audio) in file order
   std::vector<uint8_t> idx;
-  put_tag(idx, "idx1"); put_le32(idx, a->nframes * 16);
-  uint32_t fsz = (uint32_t)((size_t)a->w * a->h * 3);
-  for (uint32_t off : a->offsets) {
-    put_tag(idx, "00db"); put_le32(idx, 0x10 /* KEYFRAME */);
-    put_le32(idx, off - 8); put_le32(idx, fsz);
+  put_tag(idx, "idx1"); put_le32(idx, (uint32_t)(a->chunks.size() * 16));
+  for (const AviChunkRec& rec : a->chunks) {
+    idx.insert(idx.end(), rec.tag, rec.tag + 4);
+    put_le32(idx, 0x10 /* KEYFRAME */);
+    put_le32(idx, rec.offset - 8);
+    put_le32(idx, rec.size);
   }
   std::fwrite(idx.data(), 1, idx.size(), a->f);
   long file_end = std::ftell(a->f);
@@ -255,10 +333,14 @@ extern "C" int vf_avi_finish(VfAviWriter* a) {
                     (uint8_t)((v >> 16) & 0xff), (uint8_t)((v >> 24) & 0xff)};
     std::fwrite(b, 1, 4, a->f);
   };
-  fixup(4, (uint32_t)(file_end - 8));                 // RIFF size
-  fixup(12 + 12 + 8 + 16, a->nframes);                // avih dwTotalFrames
-  fixup(12 + 12 + 64 + 12 + 8 + 32, a->nframes);      // strh dwLength
-  fixup(a->movi_start - 8, (uint32_t)(movi_end - a->movi_start + 4));  // movi size
+  fixup(a->pos_riff_size, (uint32_t)(file_end - 8));
+  fixup(a->pos_total_frames, a->nframes);
+  fixup(a->pos_vid_length, a->nframes);
+  if (a->pos_aud_length) {
+    uint32_t block_align = (uint32_t)(a->ch * (a->bits / 8));
+    fixup(a->pos_aud_length, a->audio_bytes / (block_align ? block_align : 1));
+  }
+  fixup(a->pos_movi_size, (uint32_t)(movi_end - a->movi_start + 4));
   std::fclose(a->f);
   a->f = nullptr;
   delete a;

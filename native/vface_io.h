@@ -48,7 +48,15 @@ void vf_y4m_close_writer(VfY4mWriter* w);
 
 /* ---- AVI (uncompressed DIB) writer ---- */
 VfAviWriter* vf_avi_create(const char* path, int w, int h, int fps);
+/* with an interleaved PCM audio stream (the reference muxes the source audio
+ * into its output, VFace_inference_batch.py:646-666). sample_rate==0 means
+ * video-only (same as vf_avi_create). */
+VfAviWriter* vf_avi_create2(const char* path, int w, int h, int fps,
+                            int sample_rate, int channels, int bits_per_sample);
 int vf_avi_write_rgb(VfAviWriter* w, const uint8_t* rgb);
+/* append one '01wb' PCM chunk (interleave roughly one frame's worth of
+ * samples after each vf_avi_write_rgb for smooth playback) */
+int vf_avi_write_audio(VfAviWriter* w, const uint8_t* pcm, uint32_t nbytes);
 int vf_avi_finish(VfAviWriter* w); /* writes index + header fixups, closes */
 
 /* ---- Prefetch ring over a Y4M file ---- */

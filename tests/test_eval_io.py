@@ -102,3 +102,76 @@ def test_prefetch_early_close(tmp_path):
     got = [next(it) for _ in range(2)]
     it.close()
     assert len(got) == 2 and got[0].shape == (32, 32, 3)
+
+
+def test_avi_audio_passthrough(tmp_path):
+    """AVI with an interleaved PCM stream: the structure parses as a valid
+    2-stream RIFF (vids + auds), all written sample bytes are recoverable from
+    the '01wb' chunks, and every chunk is idx1-indexed — the reference's
+    audio-mux capability (VFace_inference_batch.py:646-666) with no ffmpeg."""
+    import struct
+    import wave
+
+    from vface_tpu.io.video import native_available, read_wav, write_avi
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native vface_io not built")
+
+    fps, sr = 10, 8000
+    n_frames = 5
+    t = np.arange(int(sr * n_frames / fps))
+    audio = (np.sin(2 * np.pi * 440 * t / sr) * 20000).astype(np.int16)
+    # stdlib round-trip for the side-file loader too
+    wav_p = str(tmp_path / "a.wav")
+    with wave.open(wav_p, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(audio.tobytes())
+    loaded, sr_back = read_wav(wav_p)
+    assert sr_back == sr and loaded.shape == (len(audio), 1)
+    np.testing.assert_array_equal(loaded[:, 0], audio)
+
+    frames = np.random.default_rng(0).integers(0, 256, (n_frames, 16, 16, 3), np.uint8)
+    avi = str(tmp_path / "av.avi")
+    write_avi(avi, frames, fps=fps, audio=loaded, sample_rate=sr)
+
+    data = open(avi, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # walk the movi list chunks
+    movi = data.index(b"movi")
+    idx1 = data.index(b"idx1")
+    pos = movi + 4
+    vid_chunks, aud_bytes = 0, b""
+    while pos < idx1 - 8:
+        tag, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if tag == b"00db":
+            vid_chunks += 1
+        elif tag == b"01wb":
+            aud_bytes += data[pos + 8 : pos + 8 + size]
+        else:
+            break
+        pos += 8 + size + (size & 1)
+    assert vid_chunks == n_frames
+    np.testing.assert_array_equal(np.frombuffer(aud_bytes, np.int16), audio)
+    # idx1 indexes every chunk
+    n_idx = struct.unpack("<I", data[idx1 + 4 : idx1 + 8])[0] // 16
+    assert n_idx == vid_chunks + audio_chunk_count(data, movi, idx1)
+    # header declares 2 streams and an auds strh exists
+    assert b"auds" in data[:movi]
+    assert struct.unpack("<I", data[data.index(b"avih") + 8 + 24 :][:4])[0] == 2
+
+
+def audio_chunk_count(data, movi, idx1):
+    import struct
+
+    pos, n = movi + 4, 0
+    while pos < idx1 - 8:
+        tag, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if tag == b"01wb":
+            n += 1
+        pos += 8 + size + (size & 1)
+    return n

@@ -34,10 +34,24 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     path = os.path.abspath(_LIB_PATH)
     if not os.path.exists(path):
-        # try building once (g++ is baked into the image)
+        # try building once (g++ is baked into the image); a failed compile
+        # must be LOUD — the pure-python fallback is an order of magnitude
+        # slower and callers should know they are on it
         build = os.path.join(os.path.dirname(path), "build.sh")
         if os.path.exists(build):
-            os.system(f"sh {build} >/dev/null 2>&1")
+            import subprocess
+            import warnings
+
+            proc = subprocess.run(
+                ["sh", build], capture_output=True, text=True, timeout=300
+            )
+            if proc.returncode != 0:
+                warnings.warn(
+                    "native vface_io build FAILED; falling back to the slow "
+                    f"pure-python video IO path.\n{proc.stderr[-2000:]}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.vf_y4m_open.restype = ctypes.c_void_p
@@ -54,7 +68,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vf_y4m_close_writer.argtypes = [ctypes.c_void_p]
         lib.vf_avi_create.restype = ctypes.c_void_p
         lib.vf_avi_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 3
+        lib.vf_avi_create2.restype = ctypes.c_void_p
+        lib.vf_avi_create2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
         lib.vf_avi_write_rgb.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.vf_avi_write_audio.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32
+        ]
         lib.vf_avi_finish.argtypes = [ctypes.c_void_p]
         lib.vf_prefetch_open.restype = ctypes.c_void_p
         lib.vf_prefetch_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
@@ -127,19 +146,74 @@ def write_y4m(path: str, frames_u8: np.ndarray, fps: int = 10) -> None:
     lib.vf_y4m_close_writer(h)
 
 
-def write_avi(path: str, frames_u8: np.ndarray, fps: int = 10) -> None:
+def write_avi(
+    path: str,
+    frames_u8: np.ndarray,
+    fps: int = 10,
+    audio: Optional[np.ndarray] = None,
+    sample_rate: int = 0,
+) -> None:
     """Playable uncompressed AVI (the mp4 mux equivalent; fps 10 is the
-    reference video operating point, VFace_inference_batch.py:247)."""
+    reference video operating point, VFace_inference_batch.py:247).
+
+    ``audio``: int16 PCM samples, shape (n_samples,) or (n_samples, channels),
+    interleaved into a second AVI stream one frame's worth at a time — the
+    audio-passthrough capability of the reference's moviepy mux
+    (VFace_inference_batch.py:646-666), with zero external tools.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native vface_io not built; run native/build.sh")
     n, hh, w, _ = frames_u8.shape
+    if audio is not None and sample_rate > 0:
+        pcm = np.asarray(audio, np.int16)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        pcm = np.ascontiguousarray(pcm)
+        channels = pcm.shape[1]
+        h = lib.vf_avi_create2(path.encode(), w, hh, fps, sample_rate, channels, 16)
+        if not h:
+            raise IOError(f"cannot create AVI: {path}")
+        # interleave ~one frame of samples after each video frame
+        total = pcm.shape[0]
+        frames = np.ascontiguousarray(frames_u8)
+        for i in range(n):
+            lib.vf_avi_write_rgb(h, frames[i].ctypes.data_as(ctypes.c_void_p))
+            s0 = (i * total) // n
+            s1 = ((i + 1) * total) // n if i + 1 < n else total
+            if s1 > s0:
+                chunk = np.ascontiguousarray(pcm[s0:s1])
+                lib.vf_avi_write_audio(
+                    h, chunk.ctypes.data_as(ctypes.c_void_p), chunk.nbytes
+                )
+        lib.vf_avi_finish(h)
+        return
     h = lib.vf_avi_create(path.encode(), w, hh, fps)
     if not h:
         raise IOError(f"cannot create AVI: {path}")
     for f in np.ascontiguousarray(frames_u8):
         lib.vf_avi_write_rgb(h, f.ctypes.data_as(ctypes.c_void_p))
     lib.vf_avi_finish(h)
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """WAV file → (int16 PCM (n_samples, channels), sample_rate). Stdlib-only
+    source-audio loader for the passthrough mux (`ffmpeg -i in.mp4 in.wav` on
+    any host produces the side file next to the Y4M)."""
+    import wave
+
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        ch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(raw, np.int16)
+    elif width == 1:  # 8-bit unsigned → int16
+        pcm = ((np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    return pcm.reshape(-1, ch), sr
 
 
 def write_gif(path: str, frames_u8: np.ndarray, fps: int = 10) -> None:
