@@ -64,6 +64,16 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fps", type=int, default=10)
     ap.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
+    ap.add_argument(
+        "--mesh_data", type=int, default=0,
+        help="shard full windows over an N-device data mesh "
+        "(swap_windows_batched; 0 = sequential single-device loop)",
+    )
+    ap.add_argument(
+        "--cross_window_carry", action="store_true",
+        help="FGATS carry across window boundaries (beyond the reference; "
+        "removes the per-window temporal seam; sequential mode only)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -89,6 +99,7 @@ def main():
         image_size=cfg.image_size,
         parser_size=64 if args.tiny else 512,
         fps=args.fps,
+        cross_window_carry=args.cross_window_carry,
     )
     pipe = VideoSwapPipeline(model, opts)
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -106,6 +117,20 @@ def main():
     }
     if args.aux_params:
         aux_params = load_params_npz(args.aux_params, aux_params)
+    else:
+        # shipped distilled LandmarkNet weights (synthetic-face teacher) —
+        # random landmark init produces meaningless crops
+        from vface_tpu.preprocess.landmarks import load_default_landmark_params
+
+        lm_params = load_default_landmark_params()
+        if lm_params is not None:
+            aux_params["landmark"] = lm_params
+
+    mesh = None
+    if args.mesh_data:
+        from vface_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh_data)
 
     pairs = load_yaml(args.config)
     os.makedirs(args.outdir, exist_ok=True)
@@ -115,7 +140,17 @@ def main():
         if os.path.exists(out_base + ".avi"):
             print(f"[skip] {name}: output exists")
             continue
-        manifest = VideoProgressManifest(out_base + ".manifest.json")
+        manifest = VideoProgressManifest(
+            out_base + ".manifest.json",
+            meta={
+                "window": opts.window,
+                "ddim_steps": opts.ddim_steps,
+                "inversion_steps": opts.inversion_steps,
+                "cfg_scale": opts.cfg_scale,
+                "image_size": opts.image_size,
+                "seed": args.seed,
+            },
+        )
         frame_dir = out_base + "_frames"
         os.makedirs(frame_dir, exist_ok=True)
 
@@ -134,12 +169,29 @@ def main():
             source01 = np.asarray(
                 Image.open(pair["source"]).convert("RGB"), np.float32
             ) / 255.0
-            swapped = pipe.swap_video_frames(
-                params, aux_params, frames01, source01,
-                manifest=manifest, window_sink=window_sink,
-            )
+            if mesh is not None:
+                swapped = pipe.swap_video_frames_sharded(
+                    params, aux_params, frames01, source01, mesh,
+                    manifest=manifest, window_sink=window_sink,
+                )
+            else:
+                swapped = pipe.swap_video_frames(
+                    params, aux_params, frames01, source01,
+                    manifest=manifest, window_sink=window_sink,
+                )
             u8 = (np.clip(swapped, 0, 1) * 255).astype(np.uint8)
-            write_avi(out_base + ".avi", u8, fps=args.fps)
+            # audio passthrough (reference muxes the source audio,
+            # VFace_inference_batch.py:646-666): a `.wav` side file next to
+            # the video (or an explicit `audio:` key in the pair) is
+            # interleaved into the output AVI
+            audio = sr = None
+            wav = pair.get("audio") or os.path.splitext(pair["video"])[0] + ".wav"
+            if os.path.exists(wav):
+                from vface_tpu.io.video import read_wav
+
+                audio, sr = read_wav(wav)
+            write_avi(out_base + ".avi", u8, fps=args.fps, audio=audio,
+                      sample_rate=sr or 0)
             write_y4m(out_base + ".y4m", u8, fps=args.fps)
             write_gif(out_base + ".gif", u8, fps=args.fps)
             # per-window completion is recorded by window_sink inside the

@@ -67,6 +67,14 @@ class SwapOptions:
     keep_recon_chunk: bool = False
     # encoder propagation interval for the sampling loop (1 = exact)
     encoder_interval: int = 1
+    # cross-window FGATS carry (beyond the reference): warp the previous
+    # window's last-frame attention q/k into the next window's first frame,
+    # removing the window-boundary temporal seam (SURVEY §5). Sequential
+    # windows only (the sharded path keeps windows independent).
+    cross_window_carry: bool = False
+    # token count at which FGATS flow warping applies (4096 = the 64x64
+    # attention grid at 512px, pnp_utils.py:185-234; tiny tests lower it)
+    flow_tokens: int = 4096
 
 
 class VideoSwapPipeline:
@@ -89,14 +97,21 @@ class VideoSwapPipeline:
         self.landmark_net = LandmarkNet()
         self.injection = InjectionSpec(
             input_blocks=FusionConfig(
-                "flow_fix", split_ratio=opts.split_ratio, flow_alpha=opts.flow_alpha
+                "flow_fix", split_ratio=opts.split_ratio, flow_alpha=opts.flow_alpha,
+                flow_tokens=opts.flow_tokens,
             ),
             chunks=3,
         )
         # the whole window (encode → co-invert → 3-chunk sample → decode) is
         # ONE jitted program per (window, flow-presence) signature — replacing
         # the reference's eager per-op dispatch + disk round trips
-        self._window_jit = jax.jit(self._swap_window_impl, static_argnames=("has_flow",))
+        self._window_jit = jax.jit(
+            self._swap_window_impl, static_argnames=("has_flow", "return_fgats")
+        )
+        # W independent windows at once, vmapped over the window axis; params
+        # ride as a jitted argument (replicated on a mesh) so the program is
+        # cached once, not re-traced per call
+        self._windows_jit = jax.jit(self._swap_windows_batched_impl)
 
     # ---------------------------------------------------------------- prep
     def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
@@ -160,9 +175,17 @@ class VideoSwapPipeline:
 
     def compute_flow(self, aux_params, crops01: jax.Array) -> jax.Array:
         """(F, S, S, 3) → (F-1, S, S, 2): RAFT flow between consecutive frames
-        (temporal_flow.py:164-188), all pairs in one batched forward."""
+        (temporal_flow.py:164-188), all pairs in one batched forward.
+
+        Direction contract: the reference calls ``compute_flow(frame2, frame1)``
+        (temporal_flow.py:183), i.e. RAFT(frame_{i+1}, frame_i) — **backward**
+        flow living on frame i+1's grid, mapping each of its pixels to the
+        matching pixel of frame i. `ops.warp.align_by_flow` then samples the
+        previous frame at ``grid + flow`` (temporal_flow.py:40-50), so flow[i]
+        must be RAFT(x[i+1], x[i]); the argument order here is load-bearing.
+        """
         x = crops01 * 2.0 - 1.0
-        return self.raft.apply({"params": aux_params["raft"]}, x[:-1], x[1:])
+        return self.raft.apply({"params": aux_params["raft"]}, x[1:], x[:-1])
 
     # ------------------------------------------------------- conditionings
     def window_conditionings(
@@ -210,13 +233,19 @@ class VideoSwapPipeline:
         src_crop: jax.Array,       # (1,S,S,3) source [-1,1]
         src_keep_mask: jax.Array,  # (1,S,S,1)
         flow: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        fgats_prev: Optional[dict] = None,
+        fgats_flow0: Optional[jax.Array] = None,
+        return_fgats: bool = False,
+    ):
         """One jitted program per window signature (see __init__)."""
         return self._window_jit(
             params, crops, keep_mask, cond, uncond, inverse_cond, cond_w_src,
             src_crop, src_keep_mask,
             flow if flow is not None else jnp.zeros((0,) + crops.shape[1:3] + (2,)),
+            fgats_prev,
+            fgats_flow0,
             has_flow=flow is not None,
+            return_fgats=return_fgats,
         )
 
     def _swap_window_impl(
@@ -231,8 +260,11 @@ class VideoSwapPipeline:
         src_crop: jax.Array,
         src_keep_mask: jax.Array,
         flow: jax.Array,
-        has_flow: bool,
-    ) -> jax.Array:
+        fgats_prev: Optional[dict] = None,
+        fgats_flow0: Optional[jax.Array] = None,
+        has_flow: bool = False,
+        return_fgats: bool = False,
+    ):
         """Device core for one window → swapped crops (F,S,S,3) in [0,1].
 
         Mirrors :456-623: encode → co-invert target+source → 3-chunk hooked
@@ -275,29 +307,56 @@ class VideoSwapPipeline:
             inv_mask = jnp.concatenate([mask_lat, src_mask_lat], axis=0)
         else:
             z2, inv_c, inv_inpaint, inv_mask = z_tar, inverse_cond, z_inpaint, mask_lat
+        # In recon-free mode the ONLY consumed inversion product is the
+        # t=961 start code (the reference's ddim_latents_961.pt, :541 — the
+        # second-to-last entry for S=50; the last step's output is computed
+        # and discarded there). Skipping that final ascending step is
+        # output-identical and saves one 1-chunk UNet pass.
+        skip = 1 if (not opts.keep_recon_chunk and opts.inversion_steps >= 2) else 0
         _, inv_latents = ddim_invert(
             model, params, z2, inv_c, inv_inpaint, inv_mask,
             num_steps=opts.inversion_steps, keep=f,
             encoder_interval=opts.encoder_interval,
+            skip_last=skip,
         )
-        # The reference hardcodes start_code = ddim_latents_961.pt (:541) —
-        # the SECOND-to-last inversion entry for S=50 (timesteps end at 981).
-        start_code = inv_latents[-2] if opts.inversion_steps >= 2 else inv_latents[-1]
+        if skip:
+            start_code = inv_latents[-1]
+        else:
+            # second-to-last entry = t=961 for S=50 (timesteps end at 981)
+            start_code = inv_latents[-2] if opts.inversion_steps >= 2 else inv_latents[-1]
 
         flow_q = None
         if has_flow:
             hq = model.cfg.latent_size  # 64 tokens per side at 512px
             flow_q = resize_flow(flow, hq, hq)
 
-        z0, _ = vface_sample(
+        flow0_q = None
+        if fgats_flow0 is not None:
+            hq = model.cfg.latent_size
+            flow0_q = resize_flow(fgats_flow0, hq, hq)
+
+        result = vface_sample(
             model, params, start_code, cond, uncond, inverse_cond,
             inv_latents, z_inpaint, mask_lat, self.injection, flow=flow_q,
             num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale, eta=opts.eta,
             encoder_interval=opts.encoder_interval,
             drop_recon_chunk=not opts.keep_recon_chunk,
+            fgats_prev=fgats_prev, fgats_flow0=flow0_q,
+            return_fgats_carry=return_fgats,
         )
+        z0 = result[0]
         out = model.decode_first_stage(params, z0)
-        return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+        out01 = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+        if return_fgats:
+            return out01, result[2]
+        return out01
+
+    def _swap_windows_batched_impl(self, params, *wargs):
+        return jax.vmap(
+            lambda c, k, co, un, ic, cs, sc, sk, fl: self._swap_window_impl(
+                params, c, k, co, un, ic, cs, sc, sk, fl, has_flow=True
+            )
+        )(*wargs)
 
     def swap_windows_batched(
         self,
@@ -321,11 +380,6 @@ class VideoSwapPipeline:
         over windows: throughput scales linearly with chips (v5e-8 ⇒ 8×
         the single-chip 0.51 frames/s). Returns (W, F, S, S, 3) in [0,1].
         """
-        fn = jax.vmap(
-            lambda c, k, co, un, ic, cs, sc, sk, fl: self._swap_window_impl(
-                params, c, k, co, un, ic, cs, sc, sk, fl, has_flow=True
-            )
-        )
         args = (crops_w, keep_w, cond_w, uncond_w, inv_cond_w, cond_src_w,
                 src_crop_w, src_keep_w, flow_w)
         if mesh is not None:
@@ -333,12 +387,103 @@ class VideoSwapPipeline:
 
             shard = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
-            return jax.jit(
-                fn,
-                in_shardings=(shard,) * len(args),
-                out_shardings=shard,
-            )(*jax.device_put(args, shard))
-        return jax.jit(fn)(*args)
+            params = jax.device_put(params, repl)
+            args = tuple(jax.device_put(a, shard) for a in args)
+        return self._windows_jit(params, *args)
+
+    def swap_video_frames_sharded(
+        self,
+        params,
+        aux_params,
+        frames01: np.ndarray,
+        source01: np.ndarray,
+        mesh,
+        remove_classes=None,
+        manifest=None,
+        window_sink=None,
+    ) -> np.ndarray:
+        """Multi-chip variant of :meth:`swap_video_frames`: full windows are
+        stacked and sharded over the mesh's ``data`` axis (W per round = mesh
+        size, padded by repeating the last window), the trailing short window
+        (if any) runs through the sequential single-window path. Outputs are
+        identical to the sequential loop — windows are independent.
+        """
+        from vface_tpu.preprocess.masks import TRAIN_REMOVE
+
+        remove_classes = remove_classes or TRAIN_REMOVE
+        opts = self.opts
+        frames01 = jnp.asarray(frames01)
+        n = int(frames01.shape[0])
+        w = opts.window
+        n_full = n // w
+
+        crops01, inv_coeffs = self.align_crops(aux_params, frames01)
+        seg = self.parse_masks(aux_params, crops01)
+        _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
+
+        src = jnp.asarray(source01)[None]
+        src_crop01, _ = self.align_crops(aux_params, src)
+        src_seg = self.parse_masks(aux_params, src_crop01)
+        _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
+        src_face_only = src_crop01 * (1.0 - src_keep)
+        src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
+        src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
+        src_crop = src_crop01 * 2 - 1
+
+        out = np.zeros(frames01.shape, np.float32)
+
+        def finish(s0, swapped, count):
+            bg = self.decode_with_background(params, frames01[s0 : s0 + count] * 2 - 1)
+            pasted = paste_back(
+                bg, swapped[:count], inv_coeffs[s0 : s0 + count],
+                1.0 - keep_mask[s0 : s0 + count],
+            )
+            pasted = np.asarray(pasted)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(s0, pasted)
+                manifest.mark_done(s0, pasted.shape[0], paths)
+            out[s0 : s0 + count] = pasted
+
+        if n_full:
+            # per-window tensors; flow pairs stay within each window
+            # (window w's flows are global pairs s0..s0+F-2)
+            per = []
+            for wi in range(n_full):
+                s0 = wi * w
+                sl = slice(s0, s0 + w)
+                c = crops01[sl] * 2 - 1
+                km = keep_mask[sl]
+                flow = self.compute_flow(aux_params, crops01[sl])
+                cond, uncond, inv_c, c_src = self.window_conditionings(
+                    params, aux_params, c, km, src_clip, src_crop01, src_lm
+                )
+                per.append((c, km, cond, uncond, inv_c, c_src, src_crop, src_keep, flow))
+            n_data = mesh.shape["data"]
+            for g0 in range(0, n_full, n_data):
+                group = per[g0 : g0 + n_data]
+                real = len(group)
+                while len(group) < n_data:  # pad: repeat the last window
+                    group.append(group[-1])
+                stacked = tuple(jnp.stack(parts) for parts in zip(*group))
+                swapped_w = self.swap_windows_batched(params, *stacked, mesh=mesh)
+                for wi in range(real):
+                    finish((g0 + wi) * w, swapped_w[wi], w)
+
+        rem = n - n_full * w
+        if rem:
+            s0 = n_full * w
+            sl = slice(s0, n)
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl]) if rem > 1 else None
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            swapped = self.swap_window(
+                params, c, km, cond, uncond, inv_c, c_src, src_crop, src_keep, flow
+            )
+            finish(s0, swapped, rem)
+        return out
 
     def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
         """The background-consistency trick (:611-623): encode+decode the
@@ -386,6 +531,7 @@ class VideoSwapPipeline:
 
         out_frames = []
         w = opts.window
+        carry = None  # cross-window FGATS state (opts.cross_window_carry)
         for s0 in range(0, n, w):
             sl = slice(s0, min(s0 + w, n))
             if manifest is not None and manifest.is_done(s0):
@@ -395,6 +541,7 @@ class VideoSwapPipeline:
                 done = manifest.data["windows"][str(s0)]
                 cached = [np.asarray(_load_png01(p)) for p in done["outputs"]]
                 out_frames.append(np.stack(cached))
+                carry = None  # resumed windows have no carry state
                 continue
             c = crops01[sl] * 2 - 1
             km = keep_mask[sl]
@@ -402,10 +549,27 @@ class VideoSwapPipeline:
             cond, uncond, inv_c, c_src = self.window_conditionings(
                 params, aux_params, c, km, src_clip, src_crop01, src_lm
             )
+            want_carry = opts.cross_window_carry and flow is not None
+            flow0 = None
+            if want_carry and carry is not None and s0 > 0:
+                # boundary flow: window's frame 0 back to the previous
+                # window's last frame (same backward-direction contract as
+                # compute_flow)
+                pair = crops01[s0 - 1 : s0 + 1] * 2.0 - 1.0
+                flow0 = self.raft.apply(
+                    {"params": aux_params["raft"]}, pair[1:], pair[:-1]
+                )
             swapped = self.swap_window(
                 params, c, km, cond, uncond, inv_c, c_src,
                 src_crop01 * 2 - 1, src_keep, flow,
+                fgats_prev=carry if (want_carry and flow0 is not None) else None,
+                fgats_flow0=flow0,
+                return_fgats=want_carry,
             )
+            if want_carry:
+                swapped, carry = swapped
+            else:
+                carry = None
             bg = self.decode_with_background(params, frames01[sl] * 2 - 1)
             pasted = paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km)
             if manifest is not None and window_sink is not None:
