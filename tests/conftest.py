@@ -42,9 +42,29 @@ def rng():
 @pytest.fixture(scope="session")
 def tiny_bundle():
     """One tiny VFaceModel + params shared across the whole suite (model init
-    costs ~30-60 s on this 1-core host; pay it once)."""
+    costs ~30-60 s on this 1-core host; pay it once).
+
+    The UNet's zero-initialised output convs are perturbed: with exact zeros
+    the eps output is IDENTICALLY 0 regardless of the attention internals
+    (everything flows through out_conv), which silently weakens every
+    equivalence/injection test to a tautology."""
+    import jax.numpy as jnp
+
     from vface_tpu.models import ModelConfig, VFaceModel
 
     model = VFaceModel(ModelConfig.tiny(image_size=32))
     params = model.init(jax.random.PRNGKey(0))
+
+    def perturb(tree, key_path=""):
+        flat = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for i, (kp, leaf) in enumerate(flat[0]):
+            if leaf.ndim >= 1 and float(jnp.abs(leaf).max()) == 0.0:
+                leaf = 0.05 * jax.random.normal(
+                    jax.random.PRNGKey(1000 + i), leaf.shape, leaf.dtype
+                )
+            leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+    params["unet"] = perturb(params["unet"])
     return model, params

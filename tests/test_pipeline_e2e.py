@@ -101,3 +101,96 @@ def test_degenerate_landmark_fallback(pipeline):
     crops, coeffs = pipe.align_crops(aux_params, frames, landmarks=lm_bad)
     assert np.isfinite(np.asarray(crops)).all()
     assert np.isfinite(np.asarray(coeffs)).all()
+
+
+def test_compute_flow_is_backward(pipeline):
+    """FGATS flow direction pin: the reference computes backward flow,
+    RAFT(frame_{i+1}, frame_i) (temporal_flow.py:183 `compute_flow(frame2,
+    frame1)`), so flow[i] lives on frame i+1's grid and maps back to frame i.
+    compute_flow must therefore pass the LATER frames as RAFT's first arg."""
+    pipe, params, aux_params = pipeline
+
+    calls = {}
+
+    class _Recorder:
+        def apply(self, variables, a, b):
+            calls["args"] = (a, b)
+            return jnp.zeros((a.shape[0],) + a.shape[1:3] + (2,))
+
+    crops01 = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    )
+    real_raft = pipe.raft
+    try:
+        pipe.raft = _Recorder()
+        flow = pipe.compute_flow(aux_params, crops01)
+    finally:
+        pipe.raft = real_raft
+    assert flow.shape == (2, 32, 32, 2)
+    a, b = calls["args"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(crops01[1:] * 2 - 1))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(crops01[:-1] * 2 - 1))
+
+
+def test_sharded_windows_match_sequential(pipeline):
+    """swap_video_frames_sharded (windows data-sharded over a CPU mesh, padded
+    group + trailing short window) equals the sequential loop — windows carry
+    no cross-window state, so multi-chip inference is pure DP over windows."""
+    from vface_tpu.parallel.mesh import make_mesh
+
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(20).uniform(0, 1, (7, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(21).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    seq = pipe.swap_video_frames(params, aux_params, frames, source)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    shd = pipe.swap_video_frames_sharded(params, aux_params, frames, source, mesh)
+    np.testing.assert_allclose(shd, seq, atol=1e-5)
+
+
+def test_cross_window_fgats_carry(tiny_bundle):
+    """Cross-window FGATS carry (beyond the reference): with the carry on,
+    window 0's frames are unchanged (no predecessor), window 1's change (its
+    frame 0 now blends with the warped previous-window state); temporal
+    smoothness at the boundary does not regress."""
+    import dataclasses as dc
+
+    from vface_tpu.eval.temporal import warp_error
+    from vface_tpu.models.raft import RAFT, RAFTConfig
+    from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
+
+    model, params = tiny_bundle
+    hl = model.cfg.latent_size
+    opts = SwapOptions(
+        ddim_steps=2, inversion_steps=2, window=3, image_size=32, parser_size=64,
+        flow_tokens=hl * hl,  # FGATS active at the tiny ds1 grid
+    )
+    pipe_off = VideoSwapPipeline(model, opts)
+    pipe_off.raft = RAFT(RAFTConfig(iters=2))
+    pipe_on = VideoSwapPipeline(model, dc.replace(opts, cross_window_carry=True))
+    pipe_on.raft = pipe_off.raft
+    rng = jax.random.PRNGKey(1)
+    aux_params = {
+        "bisenet": pipe_off.bisenet.init(rng, jnp.zeros((1, 64, 64, 3)))["params"],
+        "raft": pipe_off.raft.init(
+            rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+        )["params"],
+        "landmark": pipe_off.landmark_net.init(rng, jnp.zeros((1, 32, 32, 3)))["params"],
+    }
+    frames = np.random.default_rng(30).uniform(0, 1, (6, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(31).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+
+    out_off = pipe_off.swap_video_frames(params, aux_params, frames, source)
+    out_on = pipe_on.swap_video_frames(params, aux_params, frames, source)
+
+    # window 0 (frames 0-2): no predecessor → identical with carry on/off
+    np.testing.assert_allclose(out_on[:3], out_off[:3], atol=1e-5)
+    # window 1: the carry changes the result
+    assert np.abs(out_on[3:] - out_off[3:]).max() > 1e-6
+    assert np.isfinite(out_on).all()
+
+    # temporal smoothness across the boundary (frames 2→3): the carry must
+    # not regress the warp error (identity flow on these synthetic frames)
+    zero_flow = jnp.zeros((1, 48, 48, 2))
+    we_off = float(warp_error(jnp.asarray(out_off[2:4]), zero_flow))
+    we_on = float(warp_error(jnp.asarray(out_on[2:4]), zero_flow))
+    assert np.isfinite(we_on) and we_on <= we_off * 1.25

@@ -67,6 +67,29 @@ class ModelConfig:
         return self.image_size // (2 ** (len(self.vae.ch_mult) - 1))
 
 
+def _collect_fgats(col) -> dict:
+    """Flatten the sown 'fgats' collection into {site: {"q": arr, "k": arr}}.
+
+    The sow path is <site>/block_<i>/attn1/carry_{q,k}; the top-level key is
+    the injection site name the FlowPack ``prev`` dict is keyed by.
+    """
+    out = {}
+
+    def walk(node, site):
+        if not isinstance(node, dict) and not hasattr(node, "items"):
+            return
+        items = dict(node)
+        if "carry_q" in items:
+            out[site] = {"q": items["carry_q"], "k": items["carry_k"]}
+            return
+        for key, sub in items.items():
+            walk(sub, site)
+
+    for site, sub in dict(col).items():
+        walk(sub, site)
+    return out
+
+
 class VFaceModel:
     """Static model bundle; all methods are pure in ``params``."""
 
@@ -149,9 +172,27 @@ class VFaceModel:
         return_features: bool = False,
         encoder_cache=None,
         return_encoder_cache: bool = False,
+        return_fgats_carry: bool = False,
     ):
-        """ε-prediction. x9 (B,h,w,9); t (B,) int32; context (B,1,D)."""
-        return self.unet.apply(
+        """ε-prediction. x9 (B,h,w,9); t (B,) int32; context (B,1,D).
+
+        ``return_fgats_carry`` appends a {site: {"q", "k"}} dict of each flow
+        site's last-frame post-FSAI q/k — the cross-window FGATS carry (see
+        `vface_tpu.ops.attention.FlowPack`).
+        """
+        if not return_fgats_carry:
+            return self.unet.apply(
+                {"params": params["unet"]},
+                x9,
+                t,
+                context,
+                flow=flow,
+                injection=injection,
+                return_features=return_features,
+                encoder_cache=encoder_cache,
+                return_encoder_cache=return_encoder_cache,
+            )
+        out, variables = self.unet.apply(
             {"params": params["unet"]},
             x9,
             t,
@@ -161,7 +202,12 @@ class VFaceModel:
             return_features=return_features,
             encoder_cache=encoder_cache,
             return_encoder_cache=return_encoder_cache,
+            mutable=["fgats"],
         )
+        carry = _collect_fgats(variables.get("fgats", {}))
+        if isinstance(out, tuple):
+            return (*out, carry)
+        return out, carry
 
     # ----------------------------------------------------------- schedule
     def q_sample(self, z0, t, noise) -> jax.Array:

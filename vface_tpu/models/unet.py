@@ -82,6 +82,9 @@ class UNetConfig:
     dropout: float = 0.0
     use_remat: bool = True
     use_flash: bool = False  # Pallas flash self-attention at >=256 tokens
+    # self-attn sites with N >= this use jax.nn.dot_product_attention
+    # instead of the Pallas kernel (set huge to disable)
+    dpa_min_tokens: int = 2048
     dtype: Any = jnp.float32
 
     @classmethod
@@ -113,6 +116,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dtype: Any = jnp.float32
     use_flash: bool = False
+    dpa_min_tokens: int = 2048
     head_splits: Optional[Tuple[int, int]] = None  # dual-context partition; default 3:1
 
     @nn.compact
@@ -149,14 +153,43 @@ class CrossAttention(nn.Module):
             k = to_k(ctx)
             v = to_v(ctx)
         if fusion.active:
-            q, k, v = fuse_qkv(q, k, v, fusion, chunks=chunks, flow=flow)
+            # `flow` may be a bare flow array or a FlowPack carrying the
+            # cross-window FGATS state (prev window's q/k + boundary flow)
+            from vface_tpu.ops.attention import FlowPack
+
+            if isinstance(flow, FlowPack):
+                site = self.scope.path[-3] if len(self.scope.path) >= 3 else "attn"
+                prev_qk = None if flow.prev is None else flow.prev.get(site)
+                flow_arr, flow0 = flow.flow, flow.flow0
+            else:
+                prev_qk, flow_arr, flow0 = None, flow, None
+            q, k, v, carry = fuse_qkv(
+                q, k, v, fusion, chunks=chunks, flow=flow_arr,
+                prev_qk=prev_qk, flow0=flow0,
+            )
+            if carry is not None:
+                # cross-window carry OUT — materialised only when the caller
+                # applies with mutable=["fgats"] (zero cost otherwise)
+                self.sow("fgats", "carry_q", carry["q"], reduce_fn=lambda a, b: b)
+                self.sow("fgats", "carry_k", carry["k"], reduce_fn=lambda a, b: b)
             q = q.astype(self.dtype)
             k = k.astype(self.dtype)
             v = v.astype(self.dtype)
-        if self.use_flash and context is None and x.shape[1] >= 256:
-            # self-attn hot path (N up to 4096): Pallas flash kernel
-            # (v2: whole-KV-in-VMEM — measured faster than the einsum path
-            # at the SD shapes on v5e; falls back off-TPU/odd shapes)
+        if self.use_flash and context is None and x.shape[1] >= self.dpa_min_tokens:
+            # ds1 self-attn (N=4096): XLA's fused dot_product_attention is
+            # the measured winner at the SD shape on v5e (6.6 ms vs 8.6 flash
+            # v2 vs 9.3 einsum at b=12 — scripts/bench_attention.py; dh=40
+            # tiles badly in VMEM, so hand-tiled kernels lose to XLA here)
+            b_, n_, d_ = q.shape
+            dh_ = d_ // self.heads
+            out = jax.nn.dot_product_attention(
+                q.reshape(b_, n_, self.heads, dh_),
+                k.reshape(b_, n_, self.heads, dh_),
+                v.reshape(b_, n_, self.heads, dh_),
+            ).reshape(b_, n_, d_)
+        elif self.use_flash and context is None and x.shape[1] >= 256:
+            # mid resolutions (N=256..1024): Pallas flash v2
+            # (whole-KV-in-VMEM; 1.7 ms vs 2.6 dpa / 2.6 einsum at N=1024)
             from vface_tpu.ops.pallas_attention import flash_attention_v2
 
             out = flash_attention_v2(q, k, v, self.heads)
@@ -173,7 +206,9 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * jax.nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        # exact (erf) GELU: the reference GEGLU uses F.gelu's default
+        # (attention.py:37-45), not the tanh approximation
+        return h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
 
 
 class FeedForward(nn.Module):
@@ -198,12 +233,14 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     use_flash: bool = False
+    dpa_min_tokens: int = 2048
 
     @nn.compact
     def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
         h = LayerNormF32(dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.dim, heads=self.heads, dtype=self.dtype, use_flash=self.use_flash,
+            dpa_min_tokens=self.dpa_min_tokens,
             name="attn1",
         )(h, None, fusion=fusion, chunks=chunks, flow=flow)
         h = LayerNormF32(dtype=self.dtype, name="norm2")(x)
@@ -226,6 +263,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dtype: Any = jnp.float32
     use_flash: bool = False
+    dpa_min_tokens: int = 2048
 
     @nn.compact
     def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
@@ -237,7 +275,8 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.channels, self.context_dim, self.heads, dtype=self.dtype,
-                use_flash=self.use_flash, name=f"block_{i}",
+                use_flash=self.use_flash, dpa_min_tokens=self.dpa_min_tokens,
+                name=f"block_{i}",
             )(x, context, fusion, chunks, flow)
         x = x.reshape(b, h, w, c)
         x = Conv(self.channels, kernel=1, zero_init=True, dtype=self.dtype, name="proj_out")(x)
@@ -341,7 +380,8 @@ class UNetModel(nn.Module):
         def attn(h, site, ch, name):
             st = SpatialTransformer(
                 ch, cfg.context_dim, cfg.num_heads, cfg.transformer_depth,
-                dtype=dtype, use_flash=cfg.use_flash, name=name,
+                dtype=dtype, use_flash=cfg.use_flash,
+                dpa_min_tokens=cfg.dpa_min_tokens, name=name,
             )
             fus = inj.for_site(site)
             if cfg.use_remat:

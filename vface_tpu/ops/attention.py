@@ -19,13 +19,29 @@ the *same latent* as the swap chunk but the unconditional embedding).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from vface_tpu.ops import fusion as F
 from vface_tpu.ops import warp as W
+
+
+class FlowPack(NamedTuple):
+    """Traced payload threaded through the UNet's ``flow`` argument.
+
+    ``flow``: (F-1, Hq, Wq, 2) within-window FGATS flow (or None).
+    ``prev``: {site_name: {"q": (1, N, D), "k": (1, N, D)}} — the previous
+    window's last frame's post-FSAI q/k per flow site (cross-window carry,
+    beyond the reference), or None.
+    ``flow0``: (1, Hq, Wq, 2) boundary flow mapping this window's frame-0
+    pixels back to the previous window's last frame, or None.
+    """
+
+    flow: Optional[jax.Array] = None
+    prev: Optional[dict] = None
+    flow0: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,14 +95,20 @@ def fuse_qkv(
     cfg: FusionConfig,
     chunks: int = 3,
     flow: Optional[jax.Array] = None,
+    prev_qk: Optional[dict] = None,
+    flow0: Optional[jax.Array] = None,
 ):
     """Apply the configured cross-chunk fusion to projected q/k/v (B, N, D).
 
-    B = chunks * F. Returns (q, k, v) with the same shapes/dtype family
-    (fusion math in float32, like the reference's .float() casts).
+    B = chunks * F. Returns (q, k, v, carry): same shapes/dtype family
+    (fusion math in float32, like the reference's .float() casts); ``carry``
+    is {"q", "k"} of the swap chunk's last frame post-FSAI (the cross-window
+    FGATS carry) at flow sites, else None. ``prev_qk``/``flow0`` feed the
+    previous window's carry into frame 0's blend (see ops.warp.align_by_flow).
     """
     if not cfg.active:
-        return q, k, v
+        return q, k, v, None
+    carry = None
     b, n, d = q.shape
     f = b // chunks
     qc = q.reshape(chunks, f, n, d)
@@ -120,8 +142,20 @@ def fuse_qkv(
             # FGATS: warp only the swap chunk (index 1) across frames.
             q_sw = qn[1].reshape(f, side, side, d)
             k_sw = kn[1].reshape(f, side, side, d)
-            q_sw = W.align_by_flow(q_sw, flow, cfg.flow_alpha).reshape(f, n, d)
-            k_sw = W.align_by_flow(k_sw, flow, cfg.flow_alpha).reshape(f, n, d)
+            # cross-window carry OUT: last frame's post-FSAI, pre-blend q/k
+            # (align_by_flow blends with the *original* previous frame,
+            # temporal_flow.py:223-237 — the carry must match that semantics)
+            carry = {
+                "q": q_sw[-1:].reshape(1, n, d),
+                "k": k_sw[-1:].reshape(1, n, d),
+            }
+            pq = pk = f0 = None
+            if prev_qk is not None and flow0 is not None:
+                pq = prev_qk["q"].astype(jnp.float32).reshape(1, side, side, d)
+                pk = prev_qk["k"].astype(jnp.float32).reshape(1, side, side, d)
+                f0 = flow0
+            q_sw = W.align_by_flow(q_sw, flow, cfg.flow_alpha, pq, f0).reshape(f, n, d)
+            k_sw = W.align_by_flow(k_sw, flow, cfg.flow_alpha, pk, f0).reshape(f, n, d)
             qn = qn.at[1].set(q_sw)
             kn = kn.at[1].set(k_sw)
         if cfg.mode == "fft_vfixed":
@@ -136,10 +170,11 @@ def fuse_qkv(
         # 2-chunk semantics (pnp_utils.py:259-266): plain donor copy.
         qn = jnp.broadcast_to(qc[:1], qc.shape)
         kn = jnp.broadcast_to(kc[:1], kc.shape)
+        carry = None
 
     q = qn.reshape(b, n, d).astype(q.dtype)
     k = kn.reshape(b, n, d).astype(k.dtype)
-    return q, k, v
+    return q, k, v, carry
 
 
 def multi_head_attention(

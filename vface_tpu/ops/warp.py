@@ -84,16 +84,32 @@ def resize_flow(flow: jax.Array, height: int, width: int) -> jax.Array:
     return out * scale
 
 
-def align_by_flow(x: jax.Array, flow: jax.Array, alpha: float = 0.8) -> jax.Array:
+def align_by_flow(
+    x: jax.Array,
+    flow: jax.Array,
+    alpha: float = 0.8,
+    prev0: jax.Array = None,
+    flow0: jax.Array = None,
+) -> jax.Array:
     """FGATS parallel alignment over the frame (batch) axis.
 
     x: (F, H, W, C) frames; flow: (F-1, H, W, 2) with flow[i] mapping frame
     i+1 pixels back to frame i. Returns out with out[0] = x[0] and
     out[i+1] = alpha * x[i+1] + (1-alpha) * warp(x[i], flow[i]).
+
+    ``prev0``/``flow0`` (both (1, H, W, ·)) extend the chain ACROSS window
+    boundaries — beyond the reference, whose windows are smoothed
+    independently (SURVEY §5): frame 0 then blends with the warp of the
+    previous window's last frame instead of passing through unchanged.
     """
     warped_prev = warp_by_flow(x[:-1], flow)  # (F-1, H, W, C)
     blended = alpha * x[1:] + (1.0 - alpha) * warped_prev
-    return jnp.concatenate([x[:1], blended.astype(x.dtype)], axis=0)
+    if prev0 is not None and flow0 is not None:
+        w0 = warp_by_flow(prev0.astype(x.dtype), flow0)
+        first = (alpha * x[:1] + (1.0 - alpha) * w0).astype(x.dtype)
+    else:
+        first = x[:1]
+    return jnp.concatenate([first, blended.astype(x.dtype)], axis=0)
 
 
 def align_by_flow_chain(x: jax.Array, flow: jax.Array, alpha: float = 0.5) -> jax.Array:

@@ -38,6 +38,21 @@ from vface_tpu.samplers.ddim import ddim_step
 from vface_tpu.utils.schedule import DDIMSchedule
 
 
+def encoder_key_steps(
+    num_steps: int, interval: int, dense_frac: float = 0.2
+) -> jnp.ndarray:
+    """Static key-step mask for encoder propagation ("Faster Diffusion",
+    Li et al. 2023): encoder features change fastest early in the denoising
+    trajectory (high noise), so key steps are DENSE for the first
+    ``dense_frac`` of iterations and spaced ``interval`` apart afterwards.
+    Index convention: scan iteration idx (0 = the first/most-noisy step)."""
+    if interval <= 1:
+        return jnp.ones((max(num_steps, 1),), bool)
+    dense = max(1, int(round(dense_frac * num_steps)))
+    keys = [(i <= dense) or ((i - dense) % interval == 0) for i in range(num_steps)]
+    return jnp.asarray(keys)
+
+
 def vface_sample(
     model: VFaceModel,
     params,
@@ -57,6 +72,9 @@ def vface_sample(
     rng: Optional[jax.Array] = None,
     encoder_interval: int = 1,
     drop_recon_chunk: bool = False,
+    fgats_prev: Optional[dict] = None,
+    fgats_flow0: Optional[jax.Array] = None,
+    return_fgats_carry: bool = False,
 ):
     """Run the hooked 3-chunk sampling loop.
 
@@ -64,7 +82,16 @@ def vface_sample(
     (t=961 for S=50), per `scripts/VFace_inference_batch.py:541`.
     inv_latents: (S, F, h, w, 4) from :func:`ddim_invert` (same S).
     flow: (F-1, Hq, Wq, 2) pixel flow at the 64×64 token grid or None.
-    Returns (z_0, pred_x0 trajectory).
+    Returns (z_0, pred_x0 trajectory) — plus the per-step fgats carry stack
+    when ``return_fgats_carry`` (see below).
+
+    Cross-window FGATS carry (beyond the reference, whose 6-frame windows are
+    smoothed independently — SURVEY §5): ``fgats_prev`` is the PREVIOUS
+    window's per-step carry {site: {"q": (S, 1, N, D), "k": ...}} returned by
+    its own ``return_fgats_carry=True`` run, and ``fgats_flow0``
+    (1, Hq, Wq, 2) maps this window's frame-0 pixels back to the previous
+    window's last frame; frame 0's FGATS blend then chains across the window
+    boundary instead of passing through unchanged.
     """
     sch = DDIMSchedule.create(model.schedule, num_steps)
     num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
@@ -111,30 +138,57 @@ def vface_sample(
         return x_in, t_in
 
     use_cache = encoder_interval > 1
+    key_mask = encoder_key_steps(num_steps, encoder_interval)
+    use_carry = fgats_prev is not None or return_fgats_carry
 
-    def eps_full(x_in, t_in, _cache):
+    def step_flow(idx):
+        """Per-step flow payload: bare array, or a FlowPack with the previous
+        window's step-idx carry (scan iteration order matches across windows
+        — both run the same descending-t schedule)."""
+        if not use_carry:
+            return flow
+        from vface_tpu.ops.attention import FlowPack
+
+        prev = None
+        if fgats_prev is not None:
+            prev = jax.tree_util.tree_map(lambda s: s[idx], fgats_prev)
+        return FlowPack(flow=flow, prev=prev, flow0=fgats_flow0)
+
+    def eps_full(x_in, t_in, _cache, fl):
         return model.apply_model(
-            params, x_in, t_in, c_in, flow=flow, injection=injection,
-            return_encoder_cache=True,
+            params, x_in, t_in, c_in, flow=fl, injection=injection,
+            return_encoder_cache=True, return_fgats_carry=return_fgats_carry,
         )
 
-    def eps_cached(x_in, t_in, cache):
+    def eps_cached(x_in, t_in, cache, fl):
         return model.apply_model(
-            params, x_in, t_in, c_in, flow=flow, injection=injection,
+            params, x_in, t_in, c_in, flow=fl, injection=injection,
             encoder_cache=cache, return_encoder_cache=True,
+            return_fgats_carry=return_fgats_carry,
         )
 
     def body(carry, idx):
         x, key, cache = carry
         index = num_steps - 1 - idx
         x_in, t_in = unet_inputs(x, index)
+        fl = step_flow(idx)
+        carry_out = ()
         if use_cache:
-            # encoder propagation: full encoder on key steps only
-            # ("Faster Diffusion" — see UNetModel.__call__ docstring)
-            is_key = (idx % encoder_interval) == 0
-            eps, cache = jax.lax.cond(is_key, eps_full, eps_cached, x_in, t_in, cache)
+            # encoder propagation: full encoder on key steps only, denser
+            # early ("Faster Diffusion" — see encoder_key_steps)
+            is_key = key_mask[idx]
+            out = jax.lax.cond(is_key, eps_full, eps_cached, x_in, t_in, cache, fl)
+            if return_fgats_carry:
+                eps, cache, carry_out = out
+            else:
+                eps, cache = out
+        elif return_fgats_carry:
+            eps, carry_out = model.apply_model(
+                params, x_in, t_in, c_in, flow=fl, injection=injection,
+                return_fgats_carry=True,
+            )
         else:
-            eps = model.apply_model(params, x_in, t_in, c_in, flow=flow, injection=injection)
+            eps = model.apply_model(params, x_in, t_in, c_in, flow=fl, injection=injection)
         if drop_recon_chunk:
             e_uncond, e_cond = jnp.split(eps, 2, axis=0)
         else:
@@ -145,15 +199,19 @@ def vface_sample(
         x_prev, pred_x0 = ddim_step(
             x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise
         )
-        return (x_prev, key, cache), pred_x0
+        return (x_prev, key, cache), (pred_x0, carry_out)
 
     if use_cache:
         x_in0, t_in0 = unet_inputs(x_T.astype(jnp.float32), num_steps - 1)
-        cache0 = jax.eval_shape(lambda: eps_full(x_in0, t_in0, None))[1]
-        cache0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), cache0)
+        cache_shape = jax.eval_shape(lambda: eps_full(x_in0, t_in0, None, step_flow(0)))
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), cache_shape[1]
+        )
     else:
         cache0 = ()
-    (z0, _, _), traj = jax.lax.scan(
+    (z0, _, _), (traj, carry_stack) = jax.lax.scan(
         body, (x_T.astype(jnp.float32), rng, cache0), jnp.arange(num_steps)
     )
+    if return_fgats_carry:
+        return z0, traj, carry_stack
     return z0, traj
