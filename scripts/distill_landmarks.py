@@ -9,7 +9,11 @@ trains it against any teacher's outputs:
 
 * a directory of images with a matching ``.npy`` of (N, 68, 2) landmarks
   (exported once from dlib/face-alignment on any host), or
-* synthetic supervision for smoke runs (--synthetic).
+* procedurally rendered faces with exact 68-point ground truth
+  (``--synthetic-faces``, `vface_tpu.preprocess.synthetic_faces`) — the
+  in-environment supervision used to produce the shipped
+  ``vface_tpu/weights/landmark_net.npz``, or
+* random smoke data (--synthetic).
 
 Loss: smooth-L1 on coordinates normalised by image size. The distilled
 weights drop into every pipeline via aux_params["landmark"].
@@ -35,6 +39,11 @@ def main():
     ap.add_argument("--images", help="image dir")
     ap.add_argument("--landmarks", help=".npy of (N, 68, 2) teacher landmarks")
     ap.add_argument("--synthetic", action="store_true", help="random smoke data")
+    ap.add_argument(
+        "--synthetic-faces", action="store_true",
+        help="procedurally rendered faces with exact 68-pt ground truth",
+    )
+    ap.add_argument("--n_data", type=int, default=4096, help="synthetic-faces dataset size")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=16)
@@ -52,10 +61,20 @@ def main():
     net = LandmarkNet()
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, args.size, args.size, 3)))["params"]
-    opt = optax.adam(args.lr)
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    opt = optax.adam(sched)
     opt_state = opt.init(params)
 
-    if args.synthetic:
+    if args.synthetic_faces:
+        from vface_tpu.preprocess.synthetic_faces import render_batch
+
+        data_rng = np.random.default_rng(0)
+        import time
+
+        t0 = time.perf_counter()
+        images, lms = render_batch(data_rng, args.n_data, args.size)
+        print(f"[distill] rendered {args.n_data} faces in {time.perf_counter()-t0:.1f}s")
+    elif args.synthetic:
         n = 256
         data_rng = np.random.default_rng(0)
         images = data_rng.uniform(0, 1, (n, args.size, args.size, 3)).astype(np.float32)
@@ -100,6 +119,15 @@ def main():
         )
         if it % 100 == 0:
             print(f"[distill] step {it} loss {float(loss):.5f}")
+    if args.synthetic_faces:
+        from vface_tpu.preprocess.synthetic_faces import render_batch as _rb
+
+        ev_imgs, ev_lms = _rb(np.random.default_rng(99), 64, args.size)
+        pred = np.asarray(
+            jax.jit(lambda p, x: net.apply({"params": p}, x))(params, jnp.asarray(ev_imgs))
+        )
+        err = float(np.mean(np.linalg.norm(pred - ev_lms, axis=-1)))
+        print(f"[distill] held-out mean landmark error: {err:.2f} px @ {args.size}px")
     save_params_npz(args.out, params)
     print(f"saved LandmarkNet weights to {args.out}")
 

@@ -24,9 +24,15 @@ dlib port can be slotted in later without touching callers.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+DEFAULT_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "weights", "landmark_net.npz"
+)
 
 
 class LandmarkNet(nn.Module):
@@ -78,3 +84,24 @@ def landmarks_to_vector(landmarks68: jax.Array) -> jax.Array:
     """(B, 68, 2) → (B, 136) in the dlib x,y interleaved order the
     reference feeds to landmark_proj_out (ddpm.py:1086-1091: reshape(1,136))."""
     return landmarks68.reshape(landmarks68.shape[0], 136)
+
+
+def load_default_landmark_params(path: str = DEFAULT_WEIGHTS_PATH):
+    """Shipped LandmarkNet weights (distilled on procedurally rendered faces,
+    `scripts/distill_landmarks.py --synthetic-faces`; see
+    `vface_tpu.preprocess.synthetic_faces`). Returns the param tree, or None
+    when no checkpoint is present (callers then fall back to random init —
+    tiny/test mode)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    from vface_tpu.runtime.checkpoint import load_params_npz
+
+    net = LandmarkNet()
+    like = jax.eval_shape(
+        lambda r: net.init(r, jnp.zeros((1, 32, 32, 3)))["params"], jax.random.PRNGKey(0)
+    )
+    import numpy as np
+
+    like = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), like)
+    return load_params_npz(path, like)
