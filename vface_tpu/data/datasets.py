@@ -53,6 +53,84 @@ def normalize_img(x01: np.ndarray) -> np.ndarray:
     return x01 * 2.0 - 1.0
 
 
+def _box_blur(img01: np.ndarray, k: int) -> np.ndarray:
+    """albumentations A.Blur: box filter with a random odd kernel in [3, 7]
+    (celebA.py:354). Separable cumulative-sum implementation, edge-replicated."""
+    if k <= 1:
+        return img01
+    pad = k // 2
+    x = np.pad(img01, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    c = np.cumsum(x, axis=0)
+    x = (c[k:] - c[:-k]) / k
+    x = np.concatenate([c[k - 1 : k] / k, x], axis=0)
+    c = np.cumsum(x, axis=1)
+    x = (c[:, k:] - c[:, :-k]) / k
+    x = np.concatenate([c[:, k - 1 : k] / k, x], axis=1)
+    # cumsum accumulates float error slightly past the input range
+    return np.clip(x, img01.min(), img01.max()).astype(np.float32)
+
+
+def _elastic_transform(
+    img01: np.ndarray,
+    rng: np.random.Generator,
+    alpha: float = 1.0,
+    sigma: float = 50.0,
+    alpha_affine: float = 50.0,
+) -> np.ndarray:
+    """albumentations A.ElasticTransform with its default parameters
+    (celebA.py:355): a random affine fitted through three jittered control
+    points (jitter ~ U(−alpha_affine, alpha_affine), the dominant term at
+    alpha=1) plus a sigma-smoothed random displacement field scaled by alpha.
+    The smooth field uses a coarse-noise bilinear upsample (same family as
+    gaussian_filter(U(−1,1), sigma) without a scipy dependency)."""
+    h, w = img01.shape[:2]
+    # --- affine via 3 jittered points (albumentations' center square) ---
+    sq = min(h, w) // 3
+    c = np.asarray([w // 2, h // 2], np.float32)
+    pts1 = np.float32([c + (-sq, -sq), c + (sq, -sq), c + (-sq, sq)])
+    pts2 = pts1 + rng.uniform(-alpha_affine, alpha_affine, pts1.shape).astype(np.float32)
+    # solve [x y 1] @ M = [x' y'] mapping OUTPUT → INPUT (backward warp)
+    a_mat = np.concatenate([pts2, np.ones((3, 1), np.float32)], axis=1)
+    m = np.linalg.solve(a_mat, pts1)  # (3, 2)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    src_x = xs * m[0, 0] + ys * m[1, 0] + m[2, 0]
+    src_y = xs * m[0, 1] + ys * m[1, 1] + m[2, 1]
+    # --- smooth displacement field (coarse noise, cell size ~ sigma) ---
+    if alpha > 0:
+        cell = max(2, int(sigma))
+        gh, gw = h // cell + 2, w // cell + 2
+        coarse = rng.uniform(-1, 1, (gh, gw, 2)).astype(np.float32)
+        fy = np.linspace(0, gh - 1.001, h)
+        fx = np.linspace(0, gw - 1.001, w)
+        iy, ix = fy.astype(int), fx.astype(int)
+        ry, rx = (fy - iy)[:, None, None], (fx - ix)[None, :, None]
+        d = (
+            coarse[iy][:, ix] * (1 - ry) * (1 - rx)
+            + coarse[iy][:, ix + 1] * (1 - ry) * rx
+            + coarse[iy + 1][:, ix] * ry * (1 - rx)
+            + coarse[iy + 1][:, ix + 1] * ry * rx
+        ) * alpha
+        src_x = src_x + d[..., 0]
+        src_y = src_y + d[..., 1]
+    # --- bilinear gather with edge clamp ---
+    src_x = np.clip(src_x, 0, w - 1)
+    src_y = np.clip(src_y, 0, h - 1)
+    x0 = np.floor(src_x).astype(int)
+    y0 = np.floor(src_y).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (src_x - x0)[..., None]
+    wy = (src_y - y0)[..., None]
+    out = (
+        img01[y0, x0] * (1 - wy) * (1 - wx)
+        + img01[y0, x1] * (1 - wy) * wx
+        + img01[y1, x0] * wy * (1 - wx)
+        + img01[y1, x1] * wy * wx
+    )
+    return out.astype(np.float32)
+
+
 @dataclasses.dataclass
 class VideoFramesDataset:
     """Sequential frames `0.png…N.png` + masks; batches of `window` frames."""
@@ -126,14 +204,25 @@ class CelebATrainDataset:
         return len(self.ids)
 
     def _augment_reference(self, ref01: np.ndarray) -> np.ndarray:
-        """Resize/flip/rotate jitter of the masked reference (celebA.py:349-359)."""
+        """The reference's albumentations pipeline (celebA.py:349-359), same
+        ops / order / probabilities / parameter ranges:
+        Resize(224) → HFlip(p=.5) → Rotate(limit=20, p=.5) → Blur(p=.3,
+        kernel 3..7) → ElasticTransform(p=.3, alpha=1, sigma=50,
+        alpha_affine=50)."""
         img = Image.fromarray((ref01 * 255).astype(np.uint8))
+        img = img.resize((224, 224), Image.BILINEAR)
         if self._rng.uniform() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        angle = float(self._rng.uniform(-30, 30))
-        img = img.rotate(angle, resample=Image.BILINEAR)
-        img = img.resize((224, 224), Image.BILINEAR)
-        return np.asarray(img, dtype=np.float32) / 255.0
+        if self._rng.uniform() < 0.5:
+            angle = float(self._rng.uniform(-20, 20))
+            img = img.rotate(angle, resample=Image.BILINEAR)
+        out = np.asarray(img, dtype=np.float32) / 255.0
+        if self._rng.uniform() < 0.3:
+            out = _box_blur(out, int(self._rng.integers(3, 8) | 1))
+        if self._rng.uniform() < 0.3:
+            out = _elastic_transform(out, self._rng, alpha=1.0, sigma=50.0,
+                                     alpha_affine=50.0)
+        return out
 
     def __getitem__(self, k: int) -> dict:
         from vface_tpu.preprocess.masks import region_mask
@@ -148,8 +237,9 @@ class CelebATrainDataset:
         )
         face = np.asarray(region_mask(jnp.asarray(mask[None]), self.remove_classes))[0]
         keep = (1.0 - face)[..., None].astype(np.float32)
-        if self._rng.uniform() < self.arbitrary_mask_percent:
-            keep = self._decow(keep)
+        # decow is applied to EVERY sample (celebA.py:475-477); it is not
+        # gated by arbitrary_mask_percent (that governs the PbE bbox masks)
+        keep = self._decow(keep)
         gt = normalize_img(img01)
         ref = self._augment_reference(img01 * (1.0 - keep[..., 0])[..., None])
         return {
@@ -160,16 +250,34 @@ class CelebATrainDataset:
         }
 
     def _decow(self, keep: np.ndarray) -> np.ndarray:
-        """TPS deformation of the mask (celebA.py:83-135 'decow')."""
+        """The reference 'decow' mask deformation, exactly (celebA.py:83-96 +
+        thinplatespline/utils.py:13-34): a 3×3 TPS control grid over [-1,1]
+        whose single interior point is displaced by
+        (U−0.5)·(U−0.5)·scale (decow passes a (rand−0.5)·scale tensor as
+        noisy_grid's noise_scale, which multiplies a second rand−0.5), with
+        scale ~ U(0.5, 1.0) drawn per sample (celebA.py:475-477). The warped
+        mask stays continuous (bilinear grid_sample, no thresholding)."""
         import jax.numpy as jnp
 
         from vface_tpu.preprocess.tps import tps_warp
 
-        n_pts = 5
-        src = self._rng.uniform(-0.8, 0.8, (1, n_pts, 2)).astype(np.float32)
-        dst = src + self._rng.uniform(-0.15, 0.15, (1, n_pts, 2)).astype(np.float32)
-        warped = tps_warp(jnp.asarray(keep[None]), jnp.asarray(src), jnp.asarray(dst))
-        return np.asarray((np.asarray(warped)[0] > 0.5).astype(np.float32))
+        scale = self._rng.uniform(0.5, 1.0)
+        a = 3
+        xs = np.linspace(-1.0, 1.0, a, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        grid = np.stack([gx, gy], axis=-1)  # (3, 3, 2)
+        noise = np.zeros_like(grid)
+        noise[1:-1, 1:-1] = (
+            (self._rng.uniform(size=(a - 2, a - 2, 2)) - 0.5)
+            * (self._rng.uniform(size=(a - 2, a - 2, 2)) - 0.5)
+            * scale
+        )
+        src = grid.reshape(1, -1, 2)  # regular grid (TPS 'X')
+        dst = (grid + noise).reshape(1, -1, 2)  # noisy grid (TPS 'Y')
+        # reference: sampling grid = TPS fitted X→Y evaluated at each output
+        # pixel = our tps_warp(img, src=Y, dst=X)
+        warped = tps_warp(jnp.asarray(keep[None]), jnp.asarray(dst), jnp.asarray(src))
+        return np.asarray(warped)[0].astype(np.float32)
 
     def batches(self, batch_size: int, shuffle: bool = True) -> Iterator[dict]:
         order = np.arange(len(self))
@@ -242,8 +350,9 @@ class FFHQTrainDataset(CelebATrainDataset):
             region_mask(jnp.asarray(mask[None]), self.remove_classes, num_classes=12)
         )[0]
         keep = (1.0 - face)[..., None].astype(np.float32)
-        if self._rng.uniform() < self.arbitrary_mask_percent:
-            keep = self._decow(keep)
+        # decow is applied to EVERY sample (celebA.py:475-477); it is not
+        # gated by arbitrary_mask_percent (that governs the PbE bbox masks)
+        keep = self._decow(keep)
         gt = normalize_img(img01)
         ref = self._augment_reference(img01 * (1.0 - keep[..., 0])[..., None])
         return {
