@@ -70,6 +70,16 @@ def main():
     ap.add_argument("--scale", type=float, default=3.5)  # inference_selected.sh
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument(
+        "--watermark", action="store_true",
+        help="embed the invisible watermark in outputs (the legacy "
+        "inference.py put_watermark capability, inference.py:78, 413)",
+    )
+    ap.add_argument(
+        "--safety_params", default=None,
+        help="npz of SafetyChecker params; flagged outputs are blacked out "
+        "(check_safety, inference.py:97-101)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -98,6 +108,32 @@ def main():
     }
     opts = ImageSwapOptions(args.ddim_steps, args.scale, cfg.image_size)
 
+    safety = None
+    if args.safety_params:
+        from vface_tpu.utils.watermark import SafetyChecker
+
+        safety = (SafetyChecker(cfg.cond.clip), dict(np.load(args.safety_params)))
+
+    def finalize(out01: np.ndarray) -> np.ndarray:
+        if safety is not None:
+            checker, sp = safety
+            # nested clip tree rides as flat npz keys clip/<path>
+            clip_tree: dict = {}
+            from vface_tpu.utils.torch_convert import set_path
+
+            for k, v in sp.items():
+                set_path(clip_tree, k, v)
+            checked, flagged = checker.check(clip_tree, out01[None])
+            if flagged[0]:
+                print("[safety] potential unsafe content — output blacked out")
+            out01 = checked[0]
+        u8 = (np.clip(out01, 0, 1) * 255).astype(np.uint8)
+        if args.watermark:
+            from vface_tpu.utils.watermark import embed_watermark
+
+            u8 = embed_watermark(u8)
+        return u8
+
     if os.path.isdir(args.target):
         # folder × folder: every source onto every target (inference_swap_selected.py)
         os.makedirs(args.out, exist_ok=True)
@@ -112,15 +148,13 @@ def main():
                     opts,
                 )
                 oname = f"{os.path.splitext(sname)[0]}_to_{os.path.splitext(t)[0]}.png"
-                Image.fromarray((np.clip(out01, 0, 1) * 255).astype(np.uint8)).save(
-                    os.path.join(args.out, oname)
-                )
+                Image.fromarray(finalize(out01)).save(os.path.join(args.out, oname))
                 print(f"[done] {oname}")
     else:
         out01 = swap_one(
             pipe, model, params, aux_params, _load(args.target), _load(args.source), opts
         )
-        Image.fromarray((np.clip(out01, 0, 1) * 255).astype(np.uint8)).save(args.out)
+        Image.fromarray(finalize(out01)).save(args.out)
         print(f"[done] {args.out}")
 
 
