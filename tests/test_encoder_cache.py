@@ -87,3 +87,17 @@ def test_recon_chunk_is_dead_compute(perturbed_model):
     z3, _ = vface_sample(*args, flow=flow, num_steps=4)
     z2, _ = vface_sample(*args, flow=flow, num_steps=4, drop_recon_chunk=True)
     np.testing.assert_array_equal(np.asarray(z3), np.asarray(z2))
+
+
+def test_encoder_key_schedule_denser_early():
+    """Key steps are dense for the first ~20% of iterations, then spaced by
+    the interval ("Faster Diffusion" non-uniform schedule); interval=1 is
+    all-keys (exact)."""
+    from vface_tpu.samplers.vface import encoder_key_steps
+
+    keys = np.asarray(encoder_key_steps(50, 5))
+    assert keys[:11].all()           # dense head (20% of 50 = 10, inclusive)
+    assert not keys[11] and not keys[14]
+    assert keys[15] and keys[20]     # spaced by 5 afterwards
+    assert 15 <= keys.sum() <= 25    # real savings vs 50 full passes
+    assert np.asarray(encoder_key_steps(50, 1)).all()

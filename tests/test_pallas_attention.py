@@ -30,3 +30,20 @@ def test_flash_fallback_on_odd_shapes():
     out = flash_attention(q, k, v, h, block_q=64, block_k=64, interpret=True)
     ref = multi_head_attention(q, k, v, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_v3_matches_einsum():
+    """Transposed-layout (dh-on-sublanes) kernel == einsum attention."""
+    import numpy as np
+
+    from vface_tpu.ops.attention import multi_head_attention
+    from vface_tpu.ops.pallas_attention import flash_attention_v3
+
+    rng = np.random.default_rng(3)
+    b, n, h, dh = 2, 256, 4, 40
+    q = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    ref = multi_head_attention(q, k, v, h)
+    got = flash_attention_v3(q, k, v, h, block_q=128, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -239,6 +239,19 @@ def _flash_v2_impl(
         from vface_tpu.ops.attention import multi_head_attention
 
         return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+    # VMEM budget guard: v2 pins the full K/V per (batch, head) in VMEM.
+    # Beyond the SD shapes (e.g. 1024px → N=16384) that would fail at Mosaic
+    # compile time; fall back to the k-tiled v1 kernel instead. Budget is
+    # conservative: K+V in input dtype + fp32 block copies + q/acc blocks,
+    # against ~16 MB/core on v5e.
+    kv_bytes = 2 * nk * dh * q.dtype.itemsize + 2 * block_k * dh * 4
+    q_bytes = block_q * dh * (q.dtype.itemsize + 2 * 4)
+    if kv_bytes + q_bytes > 8 * 1024 * 1024:
+        return flash_attention(
+            q, k, v, num_heads,
+            block_q=min(block_q, 256), block_k=min(block_k, 256),
+            interpret=interpret,
+        )
 
     def split_heads(x, n):
         return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
@@ -261,3 +274,99 @@ def _flash_v2_impl(
         interpret=interpret,
     )(qh, kh, vh)
     return out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)
+
+
+# ---------------------------------------------------------------------------
+# v3: transposed (dh-on-sublanes) layout for SD's narrow heads
+# ---------------------------------------------------------------------------
+#
+# SD-1.4 attention has dh = 40. In the natural (N, dh) layout every VMEM tile
+# pads the 40-wide lane dimension to 128 — 3.2x wasted bandwidth/footprint on
+# q/k/v AND the accumulator. Holding everything transposed, (dh, N), puts dh
+# on the 8-sublane dimension (40 = 5 full sublane groups, zero waste) and the
+# large N on lanes:
+#   s  (Bq, Bk) = dot(q_t, k_t, contract dim0·dim0)   — both operands (dh, N*)
+#   o_t (dh, Bq) = dot(v_t, p,  contract dim1·dim1)   — p is (Bq, Bk)
+# Softmax stays a lane-dimension reduction. The MXU contraction width for
+# QK^T is still dh (hardware-bound at 40/128), but PV runs at full width and
+# the VMEM traffic drops ~3x.
+
+
+def _flash_kernel_v3(qt_ref, kt_ref, vt_ref, o_ref, *, block_k, kv_len, scale):
+    """Grid: (batch*heads, q_blocks). All tensors transposed: (dh, N)."""
+    qt = qt_ref[0].astype(jnp.float32)  # (dh, Bq)
+    bq = qt.shape[1]
+    dh = qt.shape[0]
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry  # m/l (Bq, 1); acc (dh, Bq)
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)  # (dh, Bk)
+        vt = vt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, Bk)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (Bq, Bk)
+        alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            vt, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dh, Bq)
+        acc = acc * alpha[:, 0][None, :] + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((dh, bq), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def flash_attention_v3(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N, D) self-attention in the transposed (dh, N) layout."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads_t(x, n):
+        # (B, N, D) → (B*h, dh, N): dh on sublanes, N on lanes
+        return x.reshape(b, n, h, dh).transpose(0, 2, 3, 1).reshape(b * h, dh, n)
+
+    qt, kt, vt = split_heads_t(q, nq), split_heads_t(k, nk), split_heads_t(v, nk)
+    grid = (b * h, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v3, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dh, block_q), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, dh, block_q), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, dh, nq), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    # (B*h, dh, N) → (B, N, D)
+    return out.reshape(b, h, dh, nq).transpose(0, 3, 1, 2).reshape(b, nq, d)

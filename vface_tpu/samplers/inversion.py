@@ -45,16 +45,23 @@ def ddim_invert(
     cfg_scale: float = 1.0,
     keep: Optional[int] = None,
     encoder_interval: int = 1,
+    skip_last: int = 0,
 ):
-    """Invert z0 → noise. Returns (x_T, latents (S, keep, h, w, 4)).
+    """Invert z0 → noise. Returns (x_T, latents (S - skip_last, keep, h, w, 4)).
 
     latents[i] is the saved chunk at timestep ``timesteps[i]`` — exactly what
     the 3-chunk sampler consumes at its step with the same timestep.
     ``encoder_interval > 1`` enables encoder propagation (see
     `vface_tpu.models.unet.UNetModel`) on the inversion forwards.
+
+    ``skip_last`` drops the final ascending steps from the scan. The
+    recon-free sampler consumes ONLY the t=961 entry (the reference's start
+    code, VFace_inference_batch.py:541 — the second-to-last step for S=50);
+    the reference still computes the last inversion step and discards it, so
+    ``skip_last=1`` is output-identical there and saves one UNet pass.
     """
     sch = DDIMSchedule.create(model.schedule, num_steps)
-    num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
+    num_steps = sch.num_steps - skip_last  # table may exceed the request
     b = z0.shape[0]
     keep = keep if keep is not None else b
     ts = jnp.asarray(sch.timesteps)
@@ -77,11 +84,17 @@ def ddim_invert(
         )
         return jax.lax.cond(is_key, full, cached, x9, t_in, cache)
 
+    # Denser-early key schedule, in NOISE order: inversion ascends t, so the
+    # fast-changing (high-noise) steps are at the END — mirror the mask.
+    from vface_tpu.samplers.vface import encoder_key_steps
+
+    key_mask = encoder_key_steps(num_steps, encoder_interval)
+
     def body(carry, i):
         x, cache = carry
         t = jnp.full((b,), ts[i], dtype=jnp.int32)
         x9 = jnp.concatenate([x, extra], axis=-1)
-        is_key = (i % encoder_interval) == 0
+        is_key = key_mask[num_steps - 1 - i]
         if use_cfg:
             eps, cache = eps_of(
                 jnp.concatenate([x9, x9], axis=0),
