@@ -175,11 +175,18 @@ class CrossAttention(nn.Module):
             q = q.astype(self.dtype)
             k = k.astype(self.dtype)
             v = v.astype(self.dtype)
-        if self.use_flash and context is None and x.shape[1] >= self.dpa_min_tokens:
+        if (
+            self.use_flash
+            and context is None
+            and x.shape[1] >= self.dpa_min_tokens
+            and x.shape[0] * self.heads >= 96
+        ):
             # ds1 self-attn (N=4096): XLA's fused dot_product_attention is
-            # the measured winner at the SD shape on v5e (6.6 ms vs 8.6 flash
-            # v2 vs 9.3 einsum at b=12 — scripts/bench_attention.py; dh=40
-            # tiles badly in VMEM, so hand-tiled kernels lose to XLA here)
+            # the measured winner at the SD shape on v5e AT LARGE BATCH
+            # (b=12: step 119→103 ms) but collapses at small batch (b=6 pass
+            # 63→165 ms — its kernel grid underutilizes below ~96 (batch ×
+            # heads) programs), so it is gated on both dimensions
+            # (scripts/bench_attention.py + /tmp bisects, round 2)
             b_, n_, d_ = q.shape
             dh_ = d_ // self.heads
             out = jax.nn.dot_product_attention(
