@@ -70,6 +70,11 @@ def main():
         "(swap_windows_batched; 0 = sequential single-device loop)",
     )
     ap.add_argument(
+        "--batch_windows", type=int, default=1,
+        help="pack N consecutive windows into one device program (bit-equal "
+        "to separate windows via boundary-masked FGATS; higher throughput)",
+    )
+    ap.add_argument(
         "--cross_window_carry", action="store_true",
         help="FGATS carry across window boundaries (beyond the reference; "
         "removes the per-window temporal seam; sequential mode only)",
@@ -100,6 +105,7 @@ def main():
         parser_size=64 if args.tiny else 512,
         fps=args.fps,
         cross_window_carry=args.cross_window_carry,
+        batch_windows=args.batch_windows,
     )
     pipe = VideoSwapPipeline(model, opts)
     rng = jax.random.PRNGKey(args.seed + 1)

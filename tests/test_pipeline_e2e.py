@@ -194,3 +194,34 @@ def test_cross_window_fgats_carry(tiny_bundle):
     we_off = float(warp_error(jnp.asarray(out_off[2:4]), zero_flow))
     we_on = float(warp_error(jnp.asarray(out_on[2:4]), zero_flow))
     assert np.isfinite(we_on) and we_on <= we_off * 1.25
+
+
+def test_batched_windows_match_separate(pipeline):
+    """batch_windows=2 (two windows packed into one program with the FGATS
+    blend masked at the boundary) equals the window-by-window loop — with
+    FGATS ACTIVE at the tiny token count, so the boundary mask is what keeps
+    the windows independent."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    hl = pipe.model.cfg.latent_size
+    opts = dc.replace(pipe.opts, flow_tokens=hl * hl)
+    frames = np.random.default_rng(40).uniform(0, 1, (6, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(41).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    pipe1 = VideoSwapPipeline(pipe.model, opts)
+    pipe1.raft = pipe.raft
+    seq = pipe1.swap_video_frames(params, aux_params, frames, source)
+    pipe2 = VideoSwapPipeline(pipe.model, dc.replace(opts, batch_windows=2))
+    pipe2.raft = pipe.raft
+    packed = pipe2.swap_video_frames(params, aux_params, frames, source)
+    np.testing.assert_allclose(packed, seq, atol=2e-5)
+    # sanity: without the boundary mask the packed result differs (the blend
+    # would leak across the boundary), proving the mask is load-bearing
+    pipe3 = VideoSwapPipeline(
+        pipe.model, dc.replace(opts, batch_windows=2, cross_window_carry=True)
+    )
+    pipe3.raft = pipe.raft
+    leaky = pipe3.swap_video_frames(params, aux_params, frames, source)
+    assert np.abs(np.asarray(leaky) - seq).max() > 1e-6

@@ -160,12 +160,12 @@ class CrossAttention(nn.Module):
             if isinstance(flow, FlowPack):
                 site = self.scope.path[-3] if len(self.scope.path) >= 3 else "attn"
                 prev_qk = None if flow.prev is None else flow.prev.get(site)
-                flow_arr, flow0 = flow.flow, flow.flow0
+                flow_arr, flow0, pmask = flow.flow, flow.flow0, flow.pair_mask
             else:
-                prev_qk, flow_arr, flow0 = None, flow, None
+                prev_qk, flow_arr, flow0, pmask = None, flow, None, None
             q, k, v, carry = fuse_qkv(
                 q, k, v, fusion, chunks=chunks, flow=flow_arr,
-                prev_qk=prev_qk, flow0=flow0,
+                prev_qk=prev_qk, flow0=flow0, pair_mask=pmask,
             )
             if carry is not None:
                 # cross-window carry OUT — materialised only when the caller

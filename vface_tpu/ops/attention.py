@@ -37,11 +37,15 @@ class FlowPack(NamedTuple):
     beyond the reference), or None.
     ``flow0``: (1, Hq, Wq, 2) boundary flow mapping this window's frame-0
     pixels back to the previous window's last frame, or None.
+    ``pair_mask``: (F-1,) FGATS blend mask — 0 disables the blend at that
+    consecutive-frame pair (used to pack several independent windows into
+    one batched program; see ops.warp.align_by_flow).
     """
 
     flow: Optional[jax.Array] = None
     prev: Optional[dict] = None
     flow0: Optional[jax.Array] = None
+    pair_mask: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +101,7 @@ def fuse_qkv(
     flow: Optional[jax.Array] = None,
     prev_qk: Optional[dict] = None,
     flow0: Optional[jax.Array] = None,
+    pair_mask: Optional[jax.Array] = None,
 ):
     """Apply the configured cross-chunk fusion to projected q/k/v (B, N, D).
 
@@ -154,8 +159,12 @@ def fuse_qkv(
                 pq = prev_qk["q"].astype(jnp.float32).reshape(1, side, side, d)
                 pk = prev_qk["k"].astype(jnp.float32).reshape(1, side, side, d)
                 f0 = flow0
-            q_sw = W.align_by_flow(q_sw, flow, cfg.flow_alpha, pq, f0).reshape(f, n, d)
-            k_sw = W.align_by_flow(k_sw, flow, cfg.flow_alpha, pk, f0).reshape(f, n, d)
+            q_sw = W.align_by_flow(
+                q_sw, flow, cfg.flow_alpha, pq, f0, pair_mask
+            ).reshape(f, n, d)
+            k_sw = W.align_by_flow(
+                k_sw, flow, cfg.flow_alpha, pk, f0, pair_mask
+            ).reshape(f, n, d)
             qn = qn.at[1].set(q_sw)
             kn = kn.at[1].set(k_sw)
         if cfg.mode == "fft_vfixed":

@@ -90,6 +90,7 @@ def align_by_flow(
     alpha: float = 0.8,
     prev0: jax.Array = None,
     flow0: jax.Array = None,
+    pair_mask: jax.Array = None,
 ) -> jax.Array:
     """FGATS parallel alignment over the frame (batch) axis.
 
@@ -101,9 +102,17 @@ def align_by_flow(
     boundaries — beyond the reference, whose windows are smoothed
     independently (SURVEY §5): frame 0 then blends with the warp of the
     previous window's last frame instead of passing through unchanged.
+
+    ``pair_mask`` (F-1,) disables the blend for selected pairs (mask 0 →
+    out[i+1] = x[i+1]). This lets several independent windows ride ONE
+    batched program: concatenate their frames and zero the mask at window
+    boundaries — bit-equal to separate windows, better MXU utilisation.
     """
     warped_prev = warp_by_flow(x[:-1], flow)  # (F-1, H, W, C)
     blended = alpha * x[1:] + (1.0 - alpha) * warped_prev
+    if pair_mask is not None:
+        m = pair_mask.astype(blended.dtype)[:, None, None, None]
+        blended = m * blended + (1.0 - m) * x[1:]
     if prev0 is not None and flow0 is not None:
         w0 = warp_by_flow(prev0.astype(x.dtype), flow0)
         first = (alpha * x[:1] + (1.0 - alpha) * w0).astype(x.dtype)

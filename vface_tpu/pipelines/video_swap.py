@@ -72,6 +72,11 @@ class SwapOptions:
     # removing the window-boundary temporal seam (SURVEY §5). Sequential
     # windows only (the sharded path keeps windows independent).
     cross_window_carry: bool = False
+    # pack this many consecutive windows into ONE device program (frames
+    # concatenated; FGATS blends masked at window boundaries so the output
+    # is bit-equal to separate windows). Raises the UNet batch (6→12→24…)
+    # for better MXU utilisation on one chip — pure throughput engineering.
+    batch_windows: int = 1
     # token count at which FGATS flow warping applies (4096 = the 64x64
     # attention grid at 512px, pnp_utils.py:185-234; tiny tests lower it)
     flow_tokens: int = 4096
@@ -236,6 +241,7 @@ class VideoSwapPipeline:
         fgats_prev: Optional[dict] = None,
         fgats_flow0: Optional[jax.Array] = None,
         return_fgats: bool = False,
+        pair_mask: Optional[jax.Array] = None,
     ):
         """One jitted program per window signature (see __init__)."""
         return self._window_jit(
@@ -244,6 +250,7 @@ class VideoSwapPipeline:
             flow if flow is not None else jnp.zeros((0,) + crops.shape[1:3] + (2,)),
             fgats_prev,
             fgats_flow0,
+            pair_mask,
             has_flow=flow is not None,
             return_fgats=return_fgats,
         )
@@ -262,6 +269,7 @@ class VideoSwapPipeline:
         flow: jax.Array,
         fgats_prev: Optional[dict] = None,
         fgats_flow0: Optional[jax.Array] = None,
+        pair_mask: Optional[jax.Array] = None,
         has_flow: bool = False,
         return_fgats: bool = False,
     ):
@@ -343,6 +351,7 @@ class VideoSwapPipeline:
             drop_recon_chunk=not opts.keep_recon_chunk,
             fgats_prev=fgats_prev, fgats_flow0=flow0_q,
             return_fgats_carry=return_fgats,
+            flow_pair_mask=pair_mask,
         )
         z0 = result[0]
         out = model.decode_first_stage(params, z0)
@@ -530,7 +539,7 @@ class VideoSwapPipeline:
         src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
 
         out_frames = []
-        w = opts.window
+        w = opts.window * max(1, opts.batch_windows)
         carry = None  # cross-window FGATS state (opts.cross_window_carry)
         for s0 in range(0, n, w):
             sl = slice(s0, min(s0 + w, n))
@@ -545,7 +554,19 @@ class VideoSwapPipeline:
                 continue
             c = crops01[sl] * 2 - 1
             km = keep_mask[sl]
-            flow = self.compute_flow(aux_params, crops01[sl]) if (sl.stop - s0) > 1 else None
+            nf = sl.stop - s0
+            flow = self.compute_flow(aux_params, crops01[sl]) if nf > 1 else None
+            # window packing (batch_windows > 1): frames of several windows
+            # ride one program; the FGATS blend is masked at the window
+            # boundaries so the result stays bit-equal to separate windows —
+            # unless cross_window_carry, where boundary blending is the point
+            pair_mask = None
+            if flow is not None and opts.batch_windows > 1 and not opts.cross_window_carry:
+                m = np.ones((nf - 1,), np.float32)
+                for b0 in range(opts.window, nf, opts.window):
+                    m[b0 - 1] = 0.0
+                if (m == 0).any():
+                    pair_mask = jnp.asarray(m)
             cond, uncond, inv_c, c_src = self.window_conditionings(
                 params, aux_params, c, km, src_clip, src_crop01, src_lm
             )
@@ -565,6 +586,7 @@ class VideoSwapPipeline:
                 fgats_prev=carry if (want_carry and flow0 is not None) else None,
                 fgats_flow0=flow0,
                 return_fgats=want_carry,
+                pair_mask=pair_mask,
             )
             if want_carry:
                 swapped, carry = swapped

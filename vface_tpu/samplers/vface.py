@@ -75,6 +75,7 @@ def vface_sample(
     fgats_prev: Optional[dict] = None,
     fgats_flow0: Optional[jax.Array] = None,
     return_fgats_carry: bool = False,
+    flow_pair_mask: Optional[jax.Array] = None,
 ):
     """Run the hooked 3-chunk sampling loop.
 
@@ -140,19 +141,23 @@ def vface_sample(
     use_cache = encoder_interval > 1
     key_mask = encoder_key_steps(num_steps, encoder_interval)
     use_carry = fgats_prev is not None or return_fgats_carry
+    use_pack = use_carry or flow_pair_mask is not None
 
     def step_flow(idx):
         """Per-step flow payload: bare array, or a FlowPack with the previous
         window's step-idx carry (scan iteration order matches across windows
-        — both run the same descending-t schedule)."""
-        if not use_carry:
+        — both run the same descending-t schedule) and/or the window-packing
+        pair mask."""
+        if not use_pack:
             return flow
         from vface_tpu.ops.attention import FlowPack
 
         prev = None
         if fgats_prev is not None:
             prev = jax.tree_util.tree_map(lambda s: s[idx], fgats_prev)
-        return FlowPack(flow=flow, prev=prev, flow0=fgats_flow0)
+        return FlowPack(
+            flow=flow, prev=prev, flow0=fgats_flow0, pair_mask=flow_pair_mask
+        )
 
     def eps_full(x_in, t_in, _cache, fl):
         return model.apply_model(
