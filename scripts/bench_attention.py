@@ -50,7 +50,12 @@ def main():
     h, dh = 8, 40
     d = h * dh
     print(f"platform: {jax.devices()[0].platform}")
-    for name, b, n in [("ds1 (64², 2-chunk w6)", 12, 4096), ("ds2 (32²)", 12, 1024)]:
+    cases = [("ds1 (64², 2-chunk w6)", 12, 4096), ("ds2 (32²)", 12, 1024)]
+    if "--packed" in sys.argv:
+        # packed-window batches (batch_windows 2/4 → b=24/48)
+        cases += [("ds1 packed bw=2", 24, 4096), ("ds1 packed bw=4", 48, 4096),
+                  ("ds2 packed bw=4", 48, 1024)]
+    for name, b, n in cases:
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(k1, (b, n, d), jnp.bfloat16)
         k = jax.random.normal(k2, (b, n, d), jnp.bfloat16)

@@ -361,3 +361,560 @@ def test_bisenet_parity():
     np.testing.assert_allclose(
         np.asarray(y_j), np.transpose(y_ref, (0, 2, 3, 1)), atol=5e-4, rtol=5e-3
     )
+
+
+# ----------------------------------------------------------------- eval nets
+#
+# The eval harness nets (SURVEY §2.8). Hopenet and Deep3DFaceRecon's net_recon
+# are pure-torch in the reference and import standalone; LPIPS/FID-Inception
+# reference files import torchvision (absent), so their torch oracles are
+# built in-test with the exact torchvision module naming the checkpoints use.
+
+
+def _load_ref_module(name, path):
+    import importlib.util
+
+    # networks.py imports kornia.geometry.warp_affine (absent here; unused by
+    # the net_recon path) — stub it
+    if "kornia" not in sys.modules:
+        k = types.ModuleType("kornia")
+        kg = types.ModuleType("kornia.geometry")
+        kg.warp_affine = lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("stub"))
+        k.geometry = kg
+        sys.modules["kornia"] = k
+        sys.modules["kornia.geometry"] = kg
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/{path}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _TorchBottleneck(torch.nn.Module):
+    """torchvision v1.5 Bottleneck (stride on conv2) with torchvision naming —
+    pose_compare.py:304 passes ``models.resnet.Bottleneck``."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        h = self.relu(self.bn1(self.conv1(x)))
+        h = self.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return self.relu(h + idt)
+
+
+def test_hopenet_parity():
+    """Hopenet (eval_tool/face_vid2vid/modules/hopenet.py:7) yaw/pitch/roll
+    logits == ours on the converted tree."""
+    hopenet_mod = _load_ref_module("ref_hopenet", "eval_tool/face_vid2vid/modules/hopenet.py")
+
+    from vface_tpu.eval.pose import Hopenet
+    from vface_tpu.utils.torch_convert import convert_hopenet, verify_tree
+
+    torch.manual_seed(500)  # deterministic oracle init
+    tm = hopenet_mod.Hopenet(_TorchBottleneck, [3, 4, 6, 3], 66).eval()
+    perturb_(tm, seed=50, scale=0.02)
+    sd = tm.state_dict()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        yaw_ref, pitch_ref, roll_ref = tm(nchw(x))
+
+    ours = Hopenet()
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))["params"]
+    params = convert_hopenet(sd)
+    assert_tree_complete(params, init)
+    yaw, pitch, roll = ours.apply({"params": to_jax_tree(params)}, jnp.asarray(x))
+    for a, b in ((yaw, yaw_ref), (pitch, pitch_ref), (roll, roll_ref)):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-4, rtol=5e-3)
+
+
+def test_face_recon_parity():
+    """Deep3DFaceRecon net_recon (networks.py:69-104, use_last_fc=False):
+    257-coeff output == ours; the 7 conv1x1 heads concatenate into Dense(257)."""
+    networks = _load_ref_module(
+        "ref_d3d_networks", "eval_tool/Deep3DFaceRecon_pytorch_edit/models/networks.py"
+    )
+
+    from vface_tpu.eval.expression import FaceReconNet
+    from vface_tpu.utils.torch_convert import convert_face_recon
+
+    torch.manual_seed(510)  # deterministic oracle init
+    tm = networks.ReconNetWrapper("resnet50", use_last_fc=False).eval()
+    perturb_(tm, seed=51, scale=0.02)
+    sd = tm.state_dict()
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        y_ref = tm(nchw(x)).numpy()
+
+    ours = FaceReconNet()
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))["params"]
+    params = convert_face_recon(sd)
+    assert_tree_complete(params, init)
+    y = ours.apply({"params": to_jax_tree(params)}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-4, rtol=5e-3)
+
+
+def _torch_lpips_oracle():
+    """Reference LPIPS (eval_tool/lpips/lpips.py + networks.py AlexNet) with
+    checkpoint-identical key names (net.layers.N / lin.N.1)."""
+    nn = torch.nn
+
+    class _AlexBase(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = nn.Sequential(
+                nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+                nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+                nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(), nn.MaxPool2d(3, 2),
+            )
+            self.register_buffer("mean", torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None])
+            self.register_buffer("std", torch.tensor([0.458, 0.448, 0.450])[None, :, None, None])
+            self.target_layers = [2, 5, 8, 10, 12]
+
+        def forward(self, x):
+            x = (x - self.mean) / self.std
+            out = []
+            for i, layer in enumerate(self.layers, 1):
+                x = layer(x)
+                if i in self.target_layers:
+                    nf = torch.sqrt(torch.sum(x**2, dim=1, keepdim=True) + 1e-16)
+                    out.append(x / (nf + 1e-10))
+            return out
+
+    class _LPIPS(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = _AlexBase()
+            self.lin = nn.ModuleList(
+                nn.Sequential(nn.Identity(), nn.Conv2d(nc, 1, 1, bias=False))
+                for nc in (64, 192, 384, 256, 256)
+            )
+
+        def forward(self, x, y):
+            fx, fy = self.net(x), self.net(y)
+            res = [l(  (a - b) ** 2  ).mean((2, 3), True) for a, b, l in zip(fx, fy, self.lin)]
+            return torch.sum(torch.cat(res, 0)) / x.shape[0]
+
+    return _LPIPS()
+
+
+def test_lpips_parity():
+    """LPIPS distance (lpips.py:55-60 forward) == ours on converted weights."""
+    from vface_tpu.eval.lpips import LPIPS
+    from vface_tpu.utils.torch_convert import convert_lpips
+
+    torch.manual_seed(520)  # oracle init draws from the global RNG
+    tm = _torch_lpips_oracle().eval()
+    perturb_(tm, seed=52, scale=0.05)
+    with torch.no_grad():
+        # the z-score buffers are LPIPS spec constants (networks.py:41-44),
+        # hardcoded on our side exactly as in the reference — un-perturb them
+        tm.net.mean.copy_(torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None])
+        tm.net.std.copy_(torch.tensor([0.458, 0.448, 0.450])[None, :, None, None])
+    sd = tm.state_dict()
+
+    rng = np.random.default_rng(9)
+    a = (rng.uniform(-1, 1, size=(2, 64, 64, 3))).astype(np.float32)
+    b = (rng.uniform(-1, 1, size=(2, 64, 64, 3))).astype(np.float32)
+    with torch.no_grad():
+        d_ref = float(tm(nchw(a), nchw(b)))
+
+    ours = LPIPS()
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+    params = convert_lpips(sd)
+    assert_tree_complete(params, init)
+    d = ours.apply({"params": to_jax_tree(params)}, jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(np.mean(np.asarray(d))), d_ref, atol=1e-4, rtol=1e-3)
+
+
+def _torch_fid_inception():
+    """pytorch-fid InceptionV3 (eval_tool/fid/inception.py: torchvision blocks
+    with the FID pool-branch overrides) with checkpoint-identical naming."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    class BC(nn.Module):
+        def __init__(self, i, o, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(i, o, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(o, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def fid_avg(x):  # FIDInceptionA/C/E_1 pool branch (inception.py:225,253,286)
+        return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+    class IncA(nn.Module):
+        def __init__(self, i, pool):
+            super().__init__()
+            self.branch1x1 = BC(i, 64, kernel_size=1)
+            self.branch5x5_1 = BC(i, 48, kernel_size=1)
+            self.branch5x5_2 = BC(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BC(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BC(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BC(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BC(i, pool, kernel_size=1)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(fid_avg(x)),
+            ], 1)
+
+    class IncB(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3 = BC(i, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BC(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BC(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BC(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, 2),
+            ], 1)
+
+    class IncC(nn.Module):
+        def __init__(self, i, c7):
+            super().__init__()
+            self.branch1x1 = BC(i, 192, kernel_size=1)
+            self.branch7x7_1 = BC(i, c7, kernel_size=1)
+            self.branch7x7_2 = BC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BC(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BC(i, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BC(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BC(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return torch.cat([self.branch1x1(x), b7, bd, self.branch_pool(fid_avg(x))], 1)
+
+    class IncD(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3_1 = BC(i, 192, kernel_size=1)
+            self.branch3x3_2 = BC(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BC(i, 192, kernel_size=1)
+            self.branch7x7x3_2 = BC(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BC(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BC(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3_2(self.branch3x3_1(x))
+            b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x))))
+            return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+    class IncE(nn.Module):
+        def __init__(self, i, max_pool_branch):
+            super().__init__()
+            self.max_pool_branch = max_pool_branch
+            self.branch1x1 = BC(i, 320, kernel_size=1)
+            self.branch3x3_1 = BC(i, 384, kernel_size=1)
+            self.branch3x3_2a = BC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BC(i, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BC(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BC(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            # FIDInceptionE_2 (Mixed_7c) uses max pooling (inception.py:321)
+            bp = F.max_pool2d(x, 3, 1, 1) if self.max_pool_branch else fid_avg(x)
+            return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BC(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BC(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BC(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BC(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BC(80, 192, kernel_size=3)
+            self.Mixed_5b = IncA(192, 32)
+            self.Mixed_5c = IncA(256, 64)
+            self.Mixed_5d = IncA(288, 64)
+            self.Mixed_6a = IncB(288)
+            self.Mixed_6b = IncC(768, 128)
+            self.Mixed_6c = IncC(768, 160)
+            self.Mixed_6d = IncC(768, 160)
+            self.Mixed_6e = IncC(768, 192)
+            self.Mixed_7a = IncD(768)
+            self.Mixed_7b = IncE(1280, False)
+            self.Mixed_7c = IncE(2048, True)
+
+        def forward(self, x):
+            h = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            h = F.max_pool2d(h, 3, 2)
+            h = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(h))
+            h = F.max_pool2d(h, 3, 2)
+            for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                         "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                         "Mixed_7c"):
+                h = getattr(self, name)(h)
+            return F.adaptive_avg_pool2d(h, (1, 1)).flatten(1)
+
+    return Net()
+
+
+def test_fid_inception_parity():
+    """FID InceptionV3 pool3 features == ours on the converted tree (incl. the
+    Mixed_7c max-pool branch of FIDInceptionE_2)."""
+    from vface_tpu.eval.fid import InceptionV3Pool3
+    from vface_tpu.utils.torch_convert import convert_fid_inception
+
+    torch.manual_seed(530)  # deterministic oracle init
+    tm = _torch_fid_inception().eval()
+    perturb_(tm, seed=53, scale=0.02)
+    sd = tm.state_dict()
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-1, 1, size=(1, 95, 95, 3)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = tm(nchw(x)).numpy()
+
+    ours = InceptionV3Pool3()
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 95, 95, 3)))["params"]
+    params = convert_fid_inception(sd)
+    assert_tree_complete(params, init)
+    y = ours.apply({"params": to_jax_tree(params)}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-3, rtol=5e-3)
+
+
+# ----------------------------------------------------------------- RAFT
+
+
+def _torch_raft_oracle():
+    """torchvision ``raft_large`` replica (the reference's flow net,
+    temporal_flow.py:27-28) with checkpoint-identical key names; forward
+    follows the semantics already pinned in tests/test_raft_oracle.py."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    def norm_mod(kind, ch):
+        return nn.InstanceNorm2d(ch) if kind == "instance" else nn.BatchNorm2d(ch)
+
+    def cna(i, o, ks, stride, pad, norm):
+        mods = [nn.Conv2d(i, o, ks, stride, pad, bias=norm is None)]
+        if norm is not None:
+            mods.append(norm_mod(norm, o))
+        mods.append(nn.ReLU())
+        return nn.Sequential(*mods)
+
+    class RB(nn.Module):
+        def __init__(self, i, o, stride, norm):
+            super().__init__()
+            self.convnormrelu1 = cna(i, o, 3, stride, 1, norm)
+            self.convnormrelu2 = cna(o, o, 3, 1, 1, norm)
+            if stride == 1:
+                self.downsample = nn.Identity()
+            else:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(i, o, 1, stride, bias=False), norm_mod(norm, o)
+                )
+
+        def forward(self, x):
+            y = self.convnormrelu2(self.convnormrelu1(x))
+            return F.relu(self.downsample(x) + y)
+
+    class Enc(nn.Module):
+        def __init__(self, norm):
+            super().__init__()
+            self.convnormrelu = cna(3, 64, 7, 2, 3, norm)
+            self.layer1 = nn.Sequential(RB(64, 64, 1, norm), RB(64, 64, 1, norm))
+            self.layer2 = nn.Sequential(RB(64, 96, 2, norm), RB(96, 96, 1, norm))
+            self.layer3 = nn.Sequential(RB(96, 128, 2, norm), RB(128, 128, 1, norm))
+            self.conv = nn.Conv2d(128, 256, 1)
+
+        def forward(self, x):
+            return self.conv(self.layer3(self.layer2(self.layer1(self.convnormrelu(x)))))
+
+    class ME(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convcorr1 = nn.Sequential(nn.Conv2d(324, 256, 1), nn.ReLU())
+            self.convcorr2 = nn.Sequential(nn.Conv2d(256, 192, 3, 1, 1), nn.ReLU())
+            self.convflow1 = nn.Sequential(nn.Conv2d(2, 128, 7, 1, 3), nn.ReLU())
+            self.convflow2 = nn.Sequential(nn.Conv2d(128, 64, 3, 1, 1), nn.ReLU())
+            self.conv = nn.Sequential(nn.Conv2d(256, 126, 3, 1, 1), nn.ReLU())
+
+        def forward(self, flow, corr):
+            cf = self.convcorr2(self.convcorr1(corr))
+            ff = self.convflow2(self.convflow1(flow))
+            h = self.conv(torch.cat([cf, ff], 1))
+            return torch.cat([h, flow], 1)
+
+    class GRU(nn.Module):
+        def __init__(self, ks, pad):
+            super().__init__()
+            self.convz = nn.Conv2d(384, 128, ks, padding=pad)
+            self.convr = nn.Conv2d(384, 128, ks, padding=pad)
+            self.convq = nn.Conv2d(384, 128, ks, padding=pad)
+
+        def forward(self, h, x):
+            hx = torch.cat([h, x], 1)
+            z = torch.sigmoid(self.convz(hx))
+            r = torch.sigmoid(self.convr(hx))
+            q = torch.tanh(self.convq(torch.cat([r * h, x], 1)))
+            return (1 - z) * h + z * q
+
+    class Recurrent(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convgru1 = GRU((1, 5), (0, 2))
+            self.convgru2 = GRU((5, 1), (2, 0))
+
+        def forward(self, h, x):
+            return self.convgru2(self.convgru1(h, x), x)
+
+    class FlowHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(128, 256, 3, 1, 1)
+            self.conv2 = nn.Conv2d(256, 2, 3, 1, 1)
+
+        def forward(self, x):
+            return self.conv2(F.relu(self.conv1(x)))
+
+    class Update(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.motion_encoder = ME()
+            self.recurrent_block = Recurrent()
+            self.flow_head = FlowHead()
+
+    class MaskPred(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convrelu = nn.Sequential(nn.Conv2d(128, 256, 3, 1, 1), nn.ReLU())
+            self.conv = nn.Conv2d(256, 576, 1)
+
+        def forward(self, x):
+            return 0.25 * self.conv(self.convrelu(x))
+
+    def bilerp(img, x, y):
+        """img (N, H, W); x/y (N, K) pixel coords; border clamp (ops/warp
+        grid_sample semantics)."""
+        n, hh, ww = img.shape
+        x0, y0 = x.floor(), y.floor()
+        wx, wy = x - x0, y - y0
+
+        def g(yi, xi):
+            yi = yi.clamp(0, hh - 1).long()
+            xi = xi.clamp(0, ww - 1).long()
+            return img.reshape(n, -1).gather(1, yi * ww + xi)
+
+        top = g(y0, x0) * (1 - wx) + g(y0, x0 + 1) * wx
+        bot = g(y0 + 1, x0) * (1 - wx) + g(y0 + 1, x0 + 1) * wx
+        return top * (1 - wy) + bot * wy
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feature_encoder = Enc("instance")
+            self.context_encoder = Enc("batch")
+            self.update_block = Update()
+            self.mask_predictor = MaskPred()
+
+        def forward(self, img1, img2, iters):
+            b = img1.shape[0]
+            f = self.feature_encoder(torch.cat([img1, img2], 0))
+            f1, f2 = f[:b], f[b:]
+            _, c, h, w = f1.shape
+            corr = torch.einsum("bchw,bcij->bhwij", f1, f2) / c**0.5
+            pyr = [corr.reshape(b * h * w, 1, h, w)]
+            for _ in range(3):
+                pyr.append(F.avg_pool2d(pyr[-1], 2, 2))
+            cnet = self.context_encoder(img1)
+            hidden, ctx = torch.tanh(cnet[:, :128]), F.relu(cnet[:, 128:])
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32),
+                torch.arange(w, dtype=torch.float32), indexing="ij",
+            )
+            d = torch.arange(-4, 5, dtype=torch.float32)
+            dyy, dxx = torch.meshgrid(d, d, indexing="ij")
+            offx, offy = dxx.reshape(-1), dyy.reshape(-1)  # dy-major window
+
+            flow = torch.zeros(b, 2, h, w)
+            for _ in range(iters):
+                cx = xs[None] + flow[:, 0]
+                cy = ys[None] + flow[:, 1]
+                feats = []
+                for lvl, cvol in enumerate(pyr):
+                    img = cvol[:, 0]
+                    px = cx.reshape(-1, 1) / 2**lvl + offx[None]
+                    py = cy.reshape(-1, 1) / 2**lvl + offy[None]
+                    s = bilerp(img, px, py)
+                    feats.append(s.reshape(b, h, w, -1).permute(0, 3, 1, 2))
+                corr_feat = torch.cat(feats, 1)
+                m = self.update_block.motion_encoder(flow, corr_feat)
+                hidden = self.update_block.recurrent_block(hidden, torch.cat([ctx, m], 1))
+                delta = self.update_block.flow_head(hidden)
+                flow = flow + delta
+            mask = self.mask_predictor(hidden)
+            mask = mask.view(b, 1, 9, 8, 8, h, w).softmax(2)
+            up = F.unfold(8 * flow, (3, 3), padding=1).view(b, 2, 9, 1, 1, h, w)
+            up = (mask * up).sum(2)
+            return up.permute(0, 1, 4, 2, 5, 3).reshape(b, 2, 8 * h, 8 * w)
+
+    return Net()
+
+
+def test_raft_parity():
+    """Full RAFT forward (2 iters, 64²): torch oracle == ours through
+    convert_raft — validates the torchvision name map, the affine-less
+    instance-norm / bias-less conv fills, and every block's semantics."""
+    from vface_tpu.models.raft import RAFT, RAFTConfig
+    from vface_tpu.utils.torch_convert import convert_raft
+
+    torch.manual_seed(540)  # deterministic oracle init
+    tm = _torch_raft_oracle().eval()
+    perturb_(tm, seed=54, scale=0.02)
+    sd = tm.state_dict()
+
+    rng = np.random.default_rng(11)
+    i1 = rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32)
+    i2 = np.clip(i1 + rng.normal(scale=0.05, size=i1.shape).astype(np.float32), -1, 1)
+    with torch.no_grad():
+        y_ref = tm(nchw(i1), nchw(i2), iters=2).numpy()
+
+    ours = RAFT(RAFTConfig(iters=2))
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))["params"]
+    params = convert_raft(sd)
+    assert_tree_complete(params, init)
+    y = ours.apply({"params": to_jax_tree(params)}, jnp.asarray(i1), jnp.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), atol=2e-3, rtol=1e-2
+    )

@@ -113,6 +113,12 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    """pool="avg" → FIDInceptionE_1 (Mixed_7b); pool="max" → FIDInceptionE_2
+    (Mixed_7c), which swaps the pool branch to max pooling
+    (eval_tool/fid/inception.py:294-321)."""
+
+    pool: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = ConvBN(320, (1, 1), name="b1x1")(x)
@@ -125,9 +131,12 @@ class InceptionE(nn.Module):
         bda = ConvBN(384, (1, 3), padding=(0, 1), name="bd_3a")(bd)
         bdb = ConvBN(384, (3, 1), padding=(1, 0), name="bd_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = nn.avg_pool(
-            x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
-        )
+        if self.pool == "max":
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        else:
+            bp = nn.avg_pool(
+                x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)), count_include_pad=False
+            )
         bp = ConvBN(192, (1, 1), name="bpool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -154,7 +163,7 @@ class InceptionV3Pool3(nn.Module):
         h = InceptionC(192, name="Mixed_6e")(h)
         h = InceptionD(name="Mixed_7a")(h)
         h = InceptionE(name="Mixed_7b")(h)
-        h = InceptionE(name="Mixed_7c")(h)
+        h = InceptionE(pool="max", name="Mixed_7c")(h)
         return jnp.mean(h, axis=(1, 2))  # pool3, 2048-d
 
 

@@ -55,10 +55,16 @@ class LPIPS(nn.Module):
         feats = AlexNetFeatures(name="net")
         ta = feats((a - shift) / scale)
         tb = feats((b - shift) / scale)
+        def unit(x):
+            # exact reference formula (eval_tool/lpips/utils.py:6-8): the inner
+            # 1e-16 dominates at dead-relu positions where the norm underflows;
+            # dropping it diverges O(1) there
+            return x / (jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-16) + 1e-10)
+
         total = 0.0
         for i, (fa, fb) in enumerate(zip(ta, tb)):
-            na = fa / (jnp.linalg.norm(fa, axis=-1, keepdims=True) + 1e-10)
-            nb = fb / (jnp.linalg.norm(fb, axis=-1, keepdims=True) + 1e-10)
+            na = unit(fa)
+            nb = unit(fb)
             d2 = (na - nb) ** 2
             w = nn.Conv(1, (1, 1), use_bias=False, param_dtype=jnp.float32, name=f"lin{i}")(d2)
             total = total + jnp.mean(w, axis=(1, 2, 3))
