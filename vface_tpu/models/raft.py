@@ -96,7 +96,9 @@ def correlation_pyramid(f1: jax.Array, f2: jax.Array, levels: int = 4):
     pyramid = [corr]
     cur = corr.reshape(b * h * w, h, w, 1)
     for _ in range(levels - 1):
-        cur = nn.avg_pool(cur, (2, 2), strides=(2, 2))
+        if min(cur.shape[1], cur.shape[2]) >= 2:
+            cur = nn.avg_pool(cur, (2, 2), strides=(2, 2))
+        # else: tiny test inputs — keep the 1×1 level instead of pooling to 0
         hh, ww = cur.shape[1], cur.shape[2]
         pyramid.append(cur.reshape(b, h, w, hh, ww))
     return pyramid
@@ -106,21 +108,38 @@ def lookup_corr(pyramid, coords: jax.Array, radius: int = 4):
     """Sample each level of the pyramid in a (2r+1)² window around coords.
 
     coords (B,H,W,2) in level-0 pixel units (x, y). Returns
-    (B,H,W,levels*(2r+1)²) feature map.
+    (B,H,W,levels*(2r+1)²) feature map, K ordered dy-major (the torchvision
+    window order pinned in tests/test_raft_oracle.py).
+
+    TPU formulation — NO gathers. Bilinear sampling with border clamp is a
+    linear map of the source row/column axes, so the whole (2r+1)² window is
+    two tiny batched matmuls against dense triangle-kernel weight matrices:
+
+        wy[n, a, Y] = max(0, 1 − |clip(cy + dy_a, 0, hh−1) − Y|)
+        win[n, a, b] = Σ_{Y,X} wy[n,a,Y] · corr[n,Y,X] · wx[n,b,X]
+
+    The clamped coordinate reproduces grid_sample's corner clamping exactly
+    (beyond an edge both corners collapse onto the border texel). Gather-based
+    versions measured 6.7 s (per-element) / 3.7 s (patch dynamic_slice) per
+    window on v5e; this dense form is pure VPU + MXU.
     """
     b, h, w, _ = coords.shape
     r = radius
-    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dyy, dxx = jnp.meshgrid(dx, dx, indexing="ij")  # (2r+1, 2r+1)
-    offsets = jnp.stack([dxx, dyy], axis=-1).reshape(-1, 2)  # (K, 2), x first
+    k = 2 * r + 1
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)  # dy-major window
     out = []
+    n = b * h * w
     for lvl, corr in enumerate(pyramid):
         hh, ww = corr.shape[3], corr.shape[4]
-        c = corr.reshape(b * h * w, hh, ww, 1)
-        ctr = coords.reshape(b * h * w, 1, 2) / (2.0**lvl)
-        pts = ctr[:, None, :, :] + offsets[None, :, None, :]  # (BHW, K, 1, 2)
-        sampled = grid_sample(c, pts)  # (BHW, K, 1, 1)
-        out.append(sampled.reshape(b, h, w, -1))
+        c = corr.reshape(n, hh, ww)
+        ctr = coords.reshape(n, 2) / (2.0**lvl)  # (x, y)
+        sy = jnp.clip(ctr[:, 1:2] + d[None, :], 0.0, hh - 1.0)  # (n, k)
+        sx = jnp.clip(ctr[:, 0:1] + d[None, :], 0.0, ww - 1.0)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - jnp.arange(hh, dtype=jnp.float32)))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - jnp.arange(ww, dtype=jnp.float32)))
+        tmp = jnp.einsum("nah,nhw->naw", wy, c, preferred_element_type=jnp.float32)
+        win = jnp.einsum("naw,nbw->nab", tmp, wx, preferred_element_type=jnp.float32)
+        out.append(win.reshape(b, h, w, k * k))
     return jnp.concatenate(out, axis=-1)
 
 

@@ -113,6 +113,12 @@ class VideoSwapPipeline:
         self._window_jit = jax.jit(
             self._swap_window_impl, static_argnames=("has_flow", "return_fgats")
         )
+        # window + background re-encode trick + perspective paste-back fused
+        # into the same program (three dispatches → one; the background VAE
+        # round-trip overlaps the sampler's tail instead of serialising)
+        self._window_pasted_jit = jax.jit(
+            self._swap_window_pasted_impl, static_argnames=("has_flow", "return_fgats")
+        )
         # W independent windows at once, vmapped over the window axis; params
         # ride as a jitted argument (replicated on a mesh) so the program is
         # cached once, not re-traced per call
@@ -255,6 +261,37 @@ class VideoSwapPipeline:
             return_fgats=return_fgats,
         )
 
+    def swap_window_pasted(
+        self,
+        params,
+        frames01_w: jax.Array,     # (F,H,W,3) original frames [0,1]
+        inv_coeffs_w: jax.Array,   # (F,8) frame→crop perspective coeffs
+        crops: jax.Array,
+        keep_mask: jax.Array,
+        cond: jax.Array,
+        uncond: jax.Array,
+        inverse_cond: jax.Array,
+        cond_w_src: jax.Array,
+        src_crop: jax.Array,
+        src_keep_mask: jax.Array,
+        flow: Optional[jax.Array] = None,
+        fgats_prev: Optional[dict] = None,
+        fgats_flow0: Optional[jax.Array] = None,
+        return_fgats: bool = False,
+        pair_mask: Optional[jax.Array] = None,
+    ):
+        """swap_window + background trick + paste-back as ONE program."""
+        return self._window_pasted_jit(
+            params, frames01_w, inv_coeffs_w, crops, keep_mask,
+            cond, uncond, inverse_cond, cond_w_src, src_crop, src_keep_mask,
+            flow if flow is not None else jnp.zeros((0,) + crops.shape[1:3] + (2,)),
+            fgats_prev,
+            fgats_flow0,
+            pair_mask,
+            has_flow=flow is not None,
+            return_fgats=return_fgats,
+        )
+
     def _swap_window_impl(
         self,
         params,
@@ -359,6 +396,19 @@ class VideoSwapPipeline:
         if return_fgats:
             return out01, result[2]
         return out01
+
+    def _swap_window_pasted_impl(
+        self, params, frames01_w, inv_coeffs_w, crops, keep_mask, *args,
+        has_flow=False, return_fgats=False, **kw,
+    ):
+        res = self._swap_window_impl(
+            params, crops, keep_mask, *args,
+            has_flow=has_flow, return_fgats=return_fgats, **kw,
+        )
+        swapped = res[0] if return_fgats else res
+        bg = self.decode_with_background(params, frames01_w * 2.0 - 1.0)
+        pasted = paste_back(bg, swapped, inv_coeffs_w, 1.0 - keep_mask)
+        return (pasted, res[1]) if return_fgats else pasted
 
     def _swap_windows_batched_impl(self, params, *wargs):
         return jax.vmap(
@@ -580,8 +630,9 @@ class VideoSwapPipeline:
                 flow0 = self.raft.apply(
                     {"params": aux_params["raft"]}, pair[1:], pair[:-1]
                 )
-            swapped = self.swap_window(
-                params, c, km, cond, uncond, inv_c, c_src,
+            pasted = self.swap_window_pasted(
+                params, frames01[sl], inv_coeffs[sl], c, km,
+                cond, uncond, inv_c, c_src,
                 src_crop01 * 2 - 1, src_keep, flow,
                 fgats_prev=carry if (want_carry and flow0 is not None) else None,
                 fgats_flow0=flow0,
@@ -589,11 +640,9 @@ class VideoSwapPipeline:
                 pair_mask=pair_mask,
             )
             if want_carry:
-                swapped, carry = swapped
+                pasted, carry = pasted
             else:
                 carry = None
-            bg = self.decode_with_background(params, frames01[sl] * 2 - 1)
-            pasted = paste_back(bg, swapped, inv_coeffs[sl], 1.0 - km)
             if manifest is not None and window_sink is not None:
                 # resumable mode: fetch per window so progress is durable
                 pasted = np.asarray(pasted)
