@@ -123,7 +123,9 @@ def test_compute_flow_is_backward(pipeline):
     real_raft = pipe.raft
     try:
         pipe.raft = _Recorder()
-        flow = pipe.compute_flow(aux_params, crops01)
+        # the public compute_flow is jitted (cached trace would bypass the
+        # recorder); pin the direction on the eager impl the jit traces
+        flow = pipe._compute_flow_impl(aux_params, crops01)
     finally:
         pipe.raft = real_raft
     assert flow.shape == (2, 32, 32, 2)

@@ -123,10 +123,19 @@ class VideoSwapPipeline:
         # ride as a jitted argument (replicated on a mesh) so the program is
         # cached once, not re-traced per call
         self._windows_jit = jax.jit(self._swap_windows_batched_impl)
+        # aux stages are jitted too: on the tunneled backend every eager op is
+        # a round trip, and the unjitted CLIP/RAFT aux paths measured 14.4 s /
+        # 3.5 s per window of pure dispatch overhead (scripts/bench_e2e_phases)
+        self._lm_jit = jax.jit(
+            lambda a, x: self.landmark_net.apply({"params": a["landmark"]}, x)
+        )
+        self._flow_jit = jax.jit(self._compute_flow_impl)
+        self._cond_jit = jax.jit(self._window_conditionings_impl)
+        self._parse_jit = jax.jit(self._parse_masks_impl)
 
     # ---------------------------------------------------------------- prep
     def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
-        return self.landmark_net.apply({"params": aux_params["landmark"]}, images01)
+        return self._lm_jit(aux_params, images01)
 
     def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0,
                     landmarks: Optional[jax.Array] = None):
@@ -172,6 +181,9 @@ class VideoSwapPipeline:
         return crops, jnp.asarray(coeffs)
 
     def parse_masks(self, aux_params, crops01: jax.Array) -> jax.Array:
+        return self._parse_jit(aux_params, crops01)
+
+    def _parse_masks_impl(self, aux_params, crops01: jax.Array) -> jax.Array:
         """Class map at the crop resolution (BiSeNet runs at its native 512²,
         face_parsing_demo.py:297; the map is nearest-resized back to the crop)."""
         from vface_tpu.models.bisenet import parse_faces
@@ -185,6 +197,9 @@ class VideoSwapPipeline:
         return seg
 
     def compute_flow(self, aux_params, crops01: jax.Array) -> jax.Array:
+        return self._flow_jit(aux_params, crops01)
+
+    def _compute_flow_impl(self, aux_params, crops01: jax.Array) -> jax.Array:
         """(F, S, S, 3) → (F-1, S, S, 2): RAFT flow between consecutive frames
         (temporal_flow.py:164-188), all pairs in one batched forward.
 
@@ -199,7 +214,10 @@ class VideoSwapPipeline:
         return self.raft.apply({"params": aux_params["raft"]}, x[1:], x[:-1])
 
     # ------------------------------------------------------- conditionings
-    def window_conditionings(
+    def window_conditionings(self, params, aux_params, *args):
+        return self._cond_jit(params, aux_params, *args)
+
+    def _window_conditionings_impl(
         self,
         params,
         aux_params,
@@ -626,10 +644,8 @@ class VideoSwapPipeline:
                 # boundary flow: window's frame 0 back to the previous
                 # window's last frame (same backward-direction contract as
                 # compute_flow)
-                pair = crops01[s0 - 1 : s0 + 1] * 2.0 - 1.0
-                flow0 = self.raft.apply(
-                    {"params": aux_params["raft"]}, pair[1:], pair[:-1]
-                )
+                # jitted via compute_flow (2-frame window → 1 flow pair)
+                flow0 = self.compute_flow(aux_params, crops01[s0 - 1 : s0 + 1])
             pasted = self.swap_window_pasted(
                 params, frames01[sl], inv_coeffs[sl], c, km,
                 cond, uncond, inv_c, c_src,
