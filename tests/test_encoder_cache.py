@@ -101,3 +101,33 @@ def test_encoder_key_schedule_denser_early():
     assert keys[15] and keys[20]     # spaced by 5 afterwards
     assert 15 <= keys.sum() <= 25    # real savings vs 50 full passes
     assert np.asarray(encoder_key_steps(50, 1)).all()
+
+
+def test_stale_cache_is_actually_used(perturbed_model):
+    """A cache from a DIFFERENT input must change the output (i.e. the cache
+    is consumed, not silently ignored) and must reproduce the cache-owner's
+    output at the same (t, context) — output blocks depend only on the cache.
+
+    Regression guard: with the zero-initialised out_conv of a fresh init,
+    every eps is exactly 0 and a cache-ignoring bug would be invisible to
+    trajectory-level comparisons (found while measuring the approx bound)."""
+    model, params = perturbed_model
+    hl = model.cfg.latent_size
+    d = model.cfg.unet.context_dim
+    t = jnp.full((2,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, d))
+    x_a = jax.random.normal(jax.random.PRNGKey(3), (2, hl, hl, 9))
+    x_b = jax.random.normal(jax.random.PRNGKey(4), (2, hl, hl, 9)) * 2.0
+    out_a, cache_a = model.apply_model(params, x_a, t, ctx, return_encoder_cache=True)
+    out_b_full, _ = model.apply_model(params, x_b, t, ctx, return_encoder_cache=True)
+    out_b_stale, cache_through = model.apply_model(
+        params, x_b, t, ctx, encoder_cache=cache_a, return_encoder_cache=True
+    )
+    # consumed: stale-cache output tracks the cache owner, not the new input
+    np.testing.assert_allclose(np.asarray(out_b_stale), np.asarray(out_a), rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(out_b_stale - out_b_full).max()) > 1e-4
+    # passthrough: a cached call returns the cache unchanged
+    for got, want in zip(
+        jax.tree_util.tree_leaves(cache_through), jax.tree_util.tree_leaves(cache_a)
+    ):
+        assert (np.asarray(got) == np.asarray(want)).all()
