@@ -43,10 +43,22 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     # the UNet out_conv is zero-initialised (eps ≡ 0 → a vacuous,
     # cache-independent trajectory); perturb every param so the deviation
-    # measurement actually exercises the eps path
-    params = jax.jit(lambda p: jax.tree_util.tree_map(
-        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(42), x.shape, x.dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, p))(params)
+    # measurement actually exercises the eps path. Keys are folded per leaf
+    # path so perturbations are independent across leaves (identical keys
+    # would correlate every leaf's draw and measure an atypical network).
+    import zlib
+
+    def _perturb(path, x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(42), zlib.crc32(jax.tree_util.keystr(path).encode())
+        )
+        return x + 0.02 * jax.random.normal(key, x.shape, x.dtype)
+
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map_with_path(_perturb, p)
+    )(params)
     f, s = 6, 512
     d = model.cfg.unet.context_dim
     crops = jax.random.normal(jax.random.PRNGKey(1), (f, s, s, 3)) * 0.2

@@ -43,10 +43,43 @@ def test_elastic_transform_properties():
     np.testing.assert_allclose(ident, img, atol=1e-5)
 
 
+def test_decow_noise_distribution_matches_reference():
+    """Quantitative distribution match of the interior control-point
+    displacement vs a torch re-implementation of reference decow
+    (celebA.py:88 `(torch.rand([a-2,a-2,2])-0.5)*scale`, scale~U(0.5,1) at
+    :475-477): quantiles of the two samples agree, and the support reaches
+    past 0.25 — the old two-factor triangular bug capped |disp| at scale/4."""
+    import torch
+
+    from vface_tpu.data.datasets import CelebATrainDataset
+
+    ds = CelebATrainDataset.__new__(CelebATrainDataset)
+    ds._rng = np.random.default_rng(6)
+    n = 4000
+    ours = np.concatenate([ds._decow_noise().ravel() for _ in range(n)])
+
+    torch.manual_seed(0)
+    ref_rng = np.random.default_rng(7)
+    ref = np.concatenate(
+        [
+            ((torch.rand([1, 1, 2]) - 0.5) * ref_rng.uniform(0.5, 1.0))
+            .numpy()
+            .ravel()
+            for _ in range(n)
+        ]
+    )
+    qs = np.linspace(0.01, 0.99, 99)
+    np.testing.assert_allclose(
+        np.quantile(ours, qs), np.quantile(ref, qs), atol=0.015
+    )
+    assert np.abs(ours).max() > 0.3  # single-factor support: up to 0.5
+    assert np.abs(ref).max() > 0.3
+
+
 def test_decow_matches_reference_family():
     """decow: continuous (unthresholded) mask in [0,1]; interior deformation
-    bounded by scale/4 at the control point (product of two U(-.5,.5) draws
-    x scale<=1); edges pinned (no displacement at boundary control points)."""
+    bounded by scale/2 at the control point ((U-.5)·scale, scale<=1); edges
+    pinned (no displacement at boundary control points)."""
     ds = CelebATrainDataset.__new__(CelebATrainDataset)
     ds._rng = np.random.default_rng(4)
     keep = np.zeros((64, 64, 1), np.float32)

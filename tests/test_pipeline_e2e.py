@@ -132,6 +132,11 @@ def test_compute_flow_is_backward(pipeline):
     a, b = calls["args"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(crops01[1:] * 2 - 1))
     np.testing.assert_allclose(np.asarray(b), np.asarray(crops01[:-1] * 2 - 1))
+    # and the public jitted wrapper must route through the same impl with the
+    # same argument wiring — compare numerically with the real (tiny) RAFT
+    got = np.asarray(pipe.compute_flow(aux_params, crops01))
+    want = np.asarray(pipe._compute_flow_impl(aux_params, crops01))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_sharded_windows_match_sequential(pipeline):

@@ -68,9 +68,10 @@ def test_pyramid_levels_average_pool():
 
 def test_lookup_corr_window_order_and_clamp():
     """Radius-r lookup at integer coords returns the (2r+1)² window in
-    row-major (dy outer, dx inner) order with border clamp — the ordering the
-    torchvision-trained motion-encoder weights expect (delta meshgrid with
-    dy first, CorrBlock)."""
+    row-major (dy outer, dx inner) order with ZERO padding — the ordering and
+    padding the torchvision-trained motion-encoder weights expect (delta
+    meshgrid with dy first; CorrBlock's grid_sample never sets padding_mode,
+    so out-of-range taps read zero, not the border texel)."""
     h = w = 6
     # corr value encodes its own (k, l) position: v = k*100 + l
     kk, ll = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -86,11 +87,17 @@ def test_lookup_corr_window_order_and_clamp():
         [102, 103, 104, 202, 203, 204, 302, 303, 304], np.float32
     )
     np.testing.assert_allclose(out[0, 0, 0], want, atol=1e-4)
-    # border clamp: centre at (0, 0) clamps the out-of-range row/col
+    # zero padding: centre at (0, 0) — the out-of-range row/col read zero
     coords0 = np.zeros((1, h, w, 2), np.float32)
     out0 = np.asarray(lookup_corr(pyramid, jnp.asarray(coords0), radius=1))
-    want0 = np.asarray([0, 0, 1, 0, 0, 1, 100, 100, 101], np.float32)
+    want0 = np.asarray([0, 0, 0, 0, 0, 1, 0, 100, 101], np.float32)
     np.testing.assert_allclose(out0[0, 0, 0], want0, atol=1e-4)
+    # fractional out-of-range centre: corners outside contribute zero
+    # (grid_sample zeros semantics), so value = 0.5 * corr[0, 0]
+    coordsf = np.zeros((1, h, w, 2), np.float32)
+    coordsf[..., 1] = -0.5  # y = -0.5, x = 0
+    outf = np.asarray(lookup_corr(pyramid, jnp.asarray(coordsf), radius=0))
+    np.testing.assert_allclose(outf[0, 0, 0], [0.5 * vol[0, 0, 0, 0, 0]], atol=1e-4)
 
 
 def test_lookup_corr_level_scaling():

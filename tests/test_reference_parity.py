@@ -825,16 +825,17 @@ def _torch_raft_oracle():
             return 0.25 * self.conv(self.convrelu(x))
 
     def bilerp(img, x, y):
-        """img (N, H, W); x/y (N, K) pixel coords; border clamp (ops/warp
-        grid_sample semantics)."""
+        """img (N, H, W); x/y (N, K) pixel coords; ZERO padding (grid_sample
+        default — torchvision's CorrBlock never sets padding_mode)."""
         n, hh, ww = img.shape
         x0, y0 = x.floor(), y.floor()
         wx, wy = x - x0, y - y0
 
         def g(yi, xi):
+            valid = ((yi >= 0) & (yi <= hh - 1) & (xi >= 0) & (xi <= ww - 1)).float()
             yi = yi.clamp(0, hh - 1).long()
             xi = xi.clamp(0, ww - 1).long()
-            return img.reshape(n, -1).gather(1, yi * ww + xi)
+            return img.reshape(n, -1).gather(1, yi * ww + xi) * valid
 
         top = g(y0, x0) * (1 - wx) + g(y0, x0 + 1) * wx
         bot = g(y0 + 1, x0) * (1 - wx) + g(y0 + 1, x0 + 1) * wx

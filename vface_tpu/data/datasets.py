@@ -249,29 +249,35 @@ class CelebATrainDataset:
             "ref_image01": ref,
         }
 
+    def _decow_noise(self) -> np.ndarray:
+        """Interior control-point displacement of decow: a single
+        ``(U−0.5)·scale`` draw per coordinate with ``scale ~ U(0.5, 1.0)``
+        (celebA.py:88 ``noise = (torch.rand([a-2,a-2,2]) - 0.5) * scale``,
+        scale drawn per sample at :475-477). ``noisy_grid`` only *adds* this
+        matrix to the regular grid (thinplatespline/utils.py:66-73) — it does
+        not multiply by another uniform draw."""
+        a = 3
+        scale = self._rng.uniform(0.5, 1.0)
+        return (
+            (self._rng.uniform(size=(a - 2, a - 2, 2)) - 0.5) * scale
+        ).astype(np.float32)
+
     def _decow(self, keep: np.ndarray) -> np.ndarray:
         """The reference 'decow' mask deformation, exactly (celebA.py:83-96 +
         thinplatespline/utils.py:13-34): a 3×3 TPS control grid over [-1,1]
-        whose single interior point is displaced by
-        (U−0.5)·(U−0.5)·scale (decow passes a (rand−0.5)·scale tensor as
-        noisy_grid's noise_scale, which multiplies a second rand−0.5), with
+        whose single interior point is displaced by (U−0.5)·scale with
         scale ~ U(0.5, 1.0) drawn per sample (celebA.py:475-477). The warped
         mask stays continuous (bilinear grid_sample, no thresholding)."""
         import jax.numpy as jnp
 
         from vface_tpu.preprocess.tps import tps_warp
 
-        scale = self._rng.uniform(0.5, 1.0)
         a = 3
         xs = np.linspace(-1.0, 1.0, a, dtype=np.float32)
         gx, gy = np.meshgrid(xs, xs, indexing="ij")
         grid = np.stack([gx, gy], axis=-1)  # (3, 3, 2)
         noise = np.zeros_like(grid)
-        noise[1:-1, 1:-1] = (
-            (self._rng.uniform(size=(a - 2, a - 2, 2)) - 0.5)
-            * (self._rng.uniform(size=(a - 2, a - 2, 2)) - 0.5)
-            * scale
-        )
+        noise[1:-1, 1:-1] = self._decow_noise()
         src = grid.reshape(1, -1, 2)  # regular grid (TPS 'X')
         dst = (grid + noise).reshape(1, -1, 2)  # noisy grid (TPS 'Y')
         # reference: sampling grid = TPS fitted X→Y evaluated at each output

@@ -111,15 +111,18 @@ def lookup_corr(pyramid, coords: jax.Array, radius: int = 4):
     (B,H,W,levels*(2r+1)²) feature map, K ordered dy-major (the torchvision
     window order pinned in tests/test_raft_oracle.py).
 
-    TPU formulation — NO gathers. Bilinear sampling with border clamp is a
-    linear map of the source row/column axes, so the whole (2r+1)² window is
-    two tiny batched matmuls against dense triangle-kernel weight matrices:
+    TPU formulation — NO gathers. Bilinear sampling is a linear map of the
+    source row/column axes, so the whole (2r+1)² window is two tiny batched
+    matmuls against dense triangle-kernel weight matrices:
 
-        wy[n, a, Y] = max(0, 1 − |clip(cy + dy_a, 0, hh−1) − Y|)
+        wy[n, a, Y] = max(0, 1 − |(cy + dy_a) − Y|)
         win[n, a, b] = Σ_{Y,X} wy[n,a,Y] · corr[n,Y,X] · wx[n,b,X]
 
-    The clamped coordinate reproduces grid_sample's corner clamping exactly
-    (beyond an edge both corners collapse onto the border texel). Gather-based
+    Coordinates are deliberately NOT clamped: an out-of-range tap gets zero
+    triangle weight against every in-range texel, which reproduces
+    ``F.grid_sample``'s default ZERO padding exactly — the mode torchvision's
+    CorrBlock uses for its pyramid lookup (it never sets ``padding_mode``;
+    only the frame warp at `temporal_flow.py:52` uses 'border'). Gather-based
     versions measured 6.7 s (per-element) / 3.7 s (patch dynamic_slice) per
     window on v5e; this dense form is pure VPU + MXU.
     """
@@ -133,8 +136,8 @@ def lookup_corr(pyramid, coords: jax.Array, radius: int = 4):
         hh, ww = corr.shape[3], corr.shape[4]
         c = corr.reshape(n, hh, ww)
         ctr = coords.reshape(n, 2) / (2.0**lvl)  # (x, y)
-        sy = jnp.clip(ctr[:, 1:2] + d[None, :], 0.0, hh - 1.0)  # (n, k)
-        sx = jnp.clip(ctr[:, 0:1] + d[None, :], 0.0, ww - 1.0)
+        sy = ctr[:, 1:2] + d[None, :]  # (n, k); unclipped → zero padding
+        sx = ctr[:, 0:1] + d[None, :]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - jnp.arange(hh, dtype=jnp.float32)))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - jnp.arange(ww, dtype=jnp.float32)))
         tmp = jnp.einsum("nah,nhw->naw", wy, c, preferred_element_type=jnp.float32)
