@@ -143,13 +143,20 @@ class FrozenBN1D(nn.Module):
 
 
 def arcface_preprocess(images01: jax.Array) -> jax.Array:
-    """(B, H, W, 3) in [0,1] → the reference IDLoss input: centre crop of the
-    256-resized face (rows 35:223, cols 32:220 — ddpm.py:112-118) pooled to 112²,
-    scaled to [-1, 1]."""
-    b = images01.shape[0]
-    x = jax.image.resize(images01, (b, 256, 256, 3), method="bilinear")
+    """(B, H, W, 3) in [0,1] → the reference IDLoss input chain
+    (ddpm.py:112-119): adaptive-avg-pool to 256² (skipped when the input is
+    already 256, matching ``x.shape[2]!=256`` at :117), centre crop rows
+    35:223 / cols 32:220, adaptive-avg-pool to 112², scaled to [-1, 1].
+    ``adaptive_avg_pool`` reproduces ``F.adaptive_avg_pool2d`` exactly (box
+    windows when downsampling, nearest-repeat when upsampling) — the reference
+    never bilinearly resizes here."""
+    from vface_tpu.ops.pooling import adaptive_avg_pool
+
+    x = images01
+    if x.shape[1] != 256 or x.shape[2] != 256:
+        x = adaptive_avg_pool(x, 256, 256)
     x = x[:, 35:223, 32:220, :]
-    x = jax.image.resize(x, (b, 112, 112, 3), method="bilinear")
+    x = adaptive_avg_pool(x, 112, 112)
     return x * 2.0 - 1.0
 
 

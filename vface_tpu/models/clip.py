@@ -164,9 +164,12 @@ class CLIPConditioner(nn.Module):
 
 
 def clip_preprocess(images01: jax.Array, size: int = 224) -> jax.Array:
-    """(B, H, W, 3) images in [0,1] → CLIP-normalised (B, size, size, 3)."""
+    """(B, H, W, 3) images in [0,1] → CLIP-normalised (B, size, size, 3).
+
+    antialias=False matches torchvision ``TF.resize`` (the reference's resize
+    at ddpm.py:912-913 does not antialias)."""
     b = images01.shape[0]
-    x = jax.image.resize(images01, (b, size, size, 3), method="bilinear")
+    x = jax.image.resize(images01, (b, size, size, 3), method="bilinear", antialias=False)
     mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=x.dtype)
     std = jnp.asarray(CLIP_IMAGE_STD, dtype=x.dtype)
     return (x - mean) / std

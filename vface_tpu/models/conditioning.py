@@ -40,7 +40,10 @@ class ConditionerConfig:
     landmark_cond: bool = True
     source_clip_feat: bool = True
     target_clip_feat: bool = True
-    weight_division: bool = False
+    # the reference defaults weight_division TRUE when the key is absent
+    # (ddpm.py:645-647) and no shipped YAML sets it — the conditioning token
+    # is (clip·w_c + id·w_id + lm·w_lm) / (w_c + w_id + w_lm) at runtime
+    weight_division: bool = True
     context_dim: int = 768
     arcface_stages: tuple = IR_50_STAGES
     # token-combination mode (ddpm.py:1023-1040):
@@ -113,6 +116,9 @@ class Conditioner(nn.Module):
         c2 = jnp.zeros_like(c)
         if cfg.id_weight > 0 and src_face01 is not None:
             feats = self.arcface(arcface_preprocess(src_face01))
+            # the reference's extract_feats ends in l2_norm (model_irse.py:69)
+            # — ID_proj_out consumes the NORMALISED embedding (ddpm.py:1010-1011)
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
             c2 = self.id_proj_out(feats)[:, None, :]
 
         lm_raw = None

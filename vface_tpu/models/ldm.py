@@ -138,6 +138,12 @@ class VFaceModel:
         post = self.vae.apply({"params": params["vae"]}, img, method=AutoencoderKL.encode)
         return post.sample(rng) * self.cfg.scale_factor
 
+    def encode_first_stage_given_eps(self, params, img, eps) -> jax.Array:
+        """Posterior sample with an externally supplied standard-normal draw —
+        lets parity tests share the draw with a torch oracle."""
+        post = self.vae.apply({"params": params["vae"]}, img, method=AutoencoderKL.encode)
+        return (post.mean + post.std * eps) * self.cfg.scale_factor
+
     def decode_first_stage(self, params, z) -> jax.Array:
         return self.vae.apply(
             {"params": params["vae"]}, z / self.cfg.scale_factor, method=AutoencoderKL.decode

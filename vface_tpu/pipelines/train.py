@@ -5,10 +5,14 @@ Capability parity with the reference training driver and loss stack
 `ldm/models/diffusion/ddpm.py:1679-1837`):
 
 * ε-MSE "simple" loss with VLB weighting (ddpm.py:1816-1832);
-* train-time DDIM reconstruction: re-noise each sample to t≈T-1, run an
-  S=4-step differentiable DDIM chain (Reconstruct_DDIM_steps,
-  train.yaml:89), decode every pred_x0 and apply the masked ArcFace ID loss
-  (weight 0.3) and LPIPS (weight 0.1) against GT (ddpm.py:1696-1797);
+* train-time DDIM reconstruction: re-noise each sample to t=T-1 with the
+  SAME noise draw, flip the reference batch so each sample reconstructs with
+  a different source's conditioning (the swap-training signal,
+  ddpm.py:1715-1717), run the S=4-step differentiable DDIM chain
+  (Reconstruct_DDIM_steps, train.yaml:89), decode every logged intermediate
+  and apply the masked ArcFace ID loss per intermediate vs the flipped
+  reference identity (weight 0.3) plus LPIPS per intermediate at 3
+  adaptive-avg-pooled scales vs GT (weight 0.1) (ddpm.py:1696-1797);
 * unconditional-embedding dropout ``u_cond_percent 0.2`` → learnable vector
   (ddpm.py:1489-1502);
 * AdamW lr 1e-5 with linear warmup (LambdaLinearScheduler, 10k steps).
@@ -122,6 +126,7 @@ def p_losses_face(
     rng: jax.Array,
     cfg: TrainConfig = TrainConfig(),
     perceptual_fn: Optional[Callable] = None,
+    fixed: Optional[dict] = None,
 ):
     """The full REFace face loss. ``batch`` carries device arrays:
 
@@ -131,34 +136,58 @@ def p_losses_face(
     ref_clip    (B, 224, 224, 3) CLIP-normalised reference face
     ref_face01  (B, 112·k, ·, 3) [0,1] reference for ArcFace
     landmarks   (B, 136)
+
+    ``fixed`` (tests only) overrides every stochastic draw so a torch oracle
+    can share them: keys ``t`` (B,), ``noise`` (B,h,w,4), ``drop`` (B,1,1)
+    bool, ``enc_eps0``/``enc_eps1`` (B,h,w,4).
     """
-    r_t, r_noise, r_drop, r_recon, r_enc0, r_enc1 = jax.random.split(rng, 6)
+    r_t, r_noise, r_drop, r_enc0, r_enc1 = jax.random.split(rng, 5)
     b = batch["gt_image"].shape[0]
+    fixed = fixed or {}
 
     # --- latents (ddpm.py:1191-1216) ---
     # the reference trains on SAMPLED posteriors (get_first_stage_encoding
     # uses encoder_posterior.sample(), ddpm.py:850-857); mode() is the
     # inference-time behavior only.
-    z0 = model.encode_first_stage_sample(params, batch["gt_image"], r_enc0)
-    z_inpaint = model.encode_first_stage_sample(params, batch["inpaint"], r_enc1)
+    if "enc_eps0" in fixed:
+        z0 = model.encode_first_stage_given_eps(params, batch["gt_image"], fixed["enc_eps0"])
+        z_inpaint = model.encode_first_stage_given_eps(params, batch["inpaint"], fixed["enc_eps1"])
+    else:
+        z0 = model.encode_first_stage_sample(params, batch["gt_image"], r_enc0)
+        z_inpaint = model.encode_first_stage_sample(params, batch["inpaint"], r_enc1)
     hl = z0.shape[1]
-    mask_lat = jax.image.resize(batch["mask"], (b, hl, hl, 1), method="bilinear")
+    # antialias=False: torchvision Resize (ddpm.py:1215) does not antialias
+    mask_lat = jax.image.resize(
+        batch["mask"], (b, hl, hl, 1), method="bilinear", antialias=False
+    )
 
     # --- conditioning with uncond dropout (ddpm.py:1489-1502) ---
+    # the train call passes tar=GT (ddpm.py:1237): with the shipped
+    # Source+Target_CLIP_feat config the GT image feeds proj_out_target
+    from vface_tpu.models.clip import clip_preprocess
+
+    gt01 = (batch["gt_image"] + 1.0) * 0.5
+    tar_clip = clip_preprocess(gt01, size=model.cfg.cond.clip.image_size)
     cond = model.conditioning(
         params,
         batch["ref_clip"],
         batch.get("landmarks"),
-        None,
+        tar_clip,
         batch.get("ref_face01"),
     )
     uncond = model.uncond(params, b)
-    drop = jax.random.uniform(r_drop, (b, 1, 1)) < cfg.u_cond_percent
+    drop = fixed.get("drop")
+    if drop is None:
+        drop = jax.random.uniform(r_drop, (b, 1, 1)) < cfg.u_cond_percent
     cond = jnp.where(drop, uncond, cond)
 
     # --- eps loss at a random t (ddpm.py:1682-1689, 1816-1832) ---
-    t = jax.random.randint(r_t, (b,), 0, model.schedule.num_timesteps)
-    noise = jax.random.normal(r_noise, z0.shape)
+    t = fixed.get("t")
+    if t is None:
+        t = jax.random.randint(r_t, (b,), 0, model.schedule.num_timesteps)
+    noise = fixed.get("noise")
+    if noise is None:
+        noise = jax.random.normal(r_noise, z0.shape)
     z_noisy = model.q_sample(z0, t, noise)
     x9 = model.build_unet_input(z_noisy, z_inpaint, mask_lat)
     need_feats = cfg.landmark_loss_weight > 0 and "landmarks" in batch
@@ -191,40 +220,79 @@ def p_losses_face(
 
     # --- train-time DDIM reconstruction (ddpm.py:1696-1797) ---
     if cfg.reconstruct:
-        t_max = model.schedule.num_timesteps - 1
-        noise_hi = jax.random.normal(r_recon, z0.shape)
+        from vface_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+        from vface_tpu.ops.pooling import adaptive_avg_pool
+
+        t_max = model.schedule.num_timesteps - 1  # t_new ≡ T-1 (ddpm.py:1696)
+        # the reference REUSES the eps-loss noise draw for the recon start
+        # (ddpm.py:1699 q_sample(..., noise=noise)) — no fresh draw
         t_hi = jnp.full((b,), t_max, jnp.int32)
-        z_hi = model.q_sample(z0, t_hi, noise_hi)
-        # per-sample descending timestep chains ending at 0 (ddim_w_inv.py:826-858)
-        steps = cfg.reconstruct_steps
-        seq = jnp.stack(
-            [jnp.full((b,), int(t_max * (steps - i) / steps) - 1, jnp.int32) for i in range(steps)]
+        z_hi = model.q_sample(z0, t_hi, noise)
+        # flip the reference batch (Same_image_reconstruct defaults False →
+        # reference=torch.flip(reference,[0]), ddpm.py:1715-1717): each sample
+        # reconstructs with a DIFFERENT source's conditioning — the
+        # swap-training signal. The recon cond is rebuilt WITHOUT uncond
+        # dropout, from the flipped reference with un-flipped landmarks and
+        # the un-flipped GT target branch (ddpm.py:1717).
+        ref_clip_f = jnp.flip(batch["ref_clip"], axis=0)
+        ref_face01_f = (
+            jnp.flip(batch["ref_face01"], axis=0) if "ref_face01" in batch else None
         )
-        z_rec, pred_x0s = ddim_sample_train(model, params, z_hi, seq, cond, z_inpaint, mask_lat)
-        img_rec = model.decode_first_stage(params, z_rec)
-        gt01 = (batch["gt_image"] + 1.0) * 0.5
-        rec01 = jnp.clip((img_rec + 1.0) * 0.5, 0.0, 1.0)
-        # masked ID loss (face region = 1 - keep mask), weight 0.3
-        face_region = 1.0 - batch["mask"]
+        cond_rec = model.conditioning(
+            params, ref_clip_f, batch.get("landmarks"), tar_clip, ref_face01_f
+        )
+        z_rec, inters = ddim_sample_train(
+            model, params, z_hi, t_max, cfg.reconstruct_steps, cond_rec, z_inpaint, mask_lat
+        )
+        # decode EVERY logged intermediate — including the noisy start latent
+        # the reference seeds its intermediates list with (ddim.py:482;
+        # ddpm.py:1736-1738 decodes all of them)
+        k = inters.shape[0]
+        dec = model.decode_first_stage(
+            params, inters.reshape((k * b,) + inters.shape[2:])
+        ).reshape((k, b) + batch["gt_image"].shape[1:])
+        hh, wwi = batch["gt_image"].shape[1:3]
+        # masked ID loss per intermediate vs the FLIPPED reference identity
+        # (ddpm.py:1755-1773): predictions masked by the face region obtained
+        # by upsampling the LATENT mask channel (1 - resize(x_start[:,8]),
+        # :1762), masking applied in [-1,1] space; the target is un-masked.
+        face_region = 1.0 - jax.image.resize(
+            mask_lat, (b, hh, wwi, 1), method="bilinear", antialias=False
+        )
         arcface = IRSE50(stages=model.cfg.cond.arcface_stages)
-        feats_gt = arcface.apply(
-            {"params": params["cond"]["arcface"]}, arcface_preprocess(gt01 * face_region)
-        )
-        feats_rec = arcface.apply(
-            {"params": params["cond"]["arcface"]}, arcface_preprocess(rec01 * face_region)
-        )
-        na = feats_gt / (jnp.linalg.norm(feats_gt, axis=-1, keepdims=True) + 1e-8)
-        nb = feats_rec / (jnp.linalg.norm(feats_rec, axis=-1, keepdims=True) + 1e-8)
-        idl = jnp.mean(1.0 - jnp.sum(na * nb, axis=-1))
+
+        def id_feats(img01):
+            f = arcface.apply(
+                {"params": params["cond"]["arcface"]}, arcface_preprocess(img01)
+            )
+            return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+
+        if ref_face01_f is not None:
+            ref01_f = ref_face01_f
+        else:
+            # un_norm_clip of the flipped CLIP-normalised reference (ddpm.py:1756)
+            ref01_f = ref_clip_f * jnp.asarray(CLIP_IMAGE_STD) + jnp.asarray(CLIP_IMAGE_MEAN)
+        feats_ref = jax.lax.stop_gradient(id_feats(ref01_f))  # y_feats.detach(), ddpm.py:135
+        idl = 0.0
+        for j in range(k):
+            masked01 = (dec[j] * face_region + 1.0) * 0.5
+            f = id_feats(masked01)
+            idl = idl + jnp.mean(1.0 - jnp.sum(f * feats_ref, axis=-1))
+        idl = idl / k  # mean over intermediates (ddpm.py:1771)
         loss = loss + cfg.id_loss_weight * idl
         logs["loss_id"] = idl
         if perceptual_fn is not None and cfg.lpips_loss_weight > 0:
-            # 3-scale LPIPS vs GT (ddpm.py:1779-1797)
+            # LPIPS per intermediate × 3 adaptive-avg-pooled scales vs GT,
+            # SUMMED over both axes (ddpm.py:1781-1788 accumulates, never
+            # averages). The reference hardcodes 512//2**i because its images
+            # are always 512²; we use H//2**i — identical at the operating
+            # point, size-generic otherwise.
             lp = 0.0
-            for s in (1, 2, 4):
-                a = img_rec[:, ::s, ::s, :]
-                g = batch["gt_image"][:, ::s, ::s, :]
-                lp = lp + jnp.mean(perceptual_fn(a, g))
+            for j in range(k):
+                for i in range(3):
+                    a = adaptive_avg_pool(dec[j], hh // 2**i, wwi // 2**i)
+                    g = adaptive_avg_pool(batch["gt_image"], hh // 2**i, wwi // 2**i)
+                    lp = lp + jnp.mean(perceptual_fn(a, g))
             loss = loss + cfg.lpips_loss_weight * lp
             logs["loss_lpips"] = lp
 

@@ -87,38 +87,79 @@ def ddim_sample(
     return x0, pred_x0s
 
 
+def train_recon_timesteps(t_start: int, num_steps: int):
+    """The reference's train-time reconstruction chain, exactly
+    (ddim.py:455-478 runtime): ``skip = (t-1) // S`` (min 1),
+    ``seq = range(1, t-1, skip)`` truncated to ``min(len, S)`` then flipped to
+    descending. For the shipped operating point (t=999, S=4) this yields
+    [748, 499, 250, 1] — NOT a uniform grid from t."""
+    import numpy as np
+
+    skip = max((t_start - 1) // num_steps, 1)
+    seq = list(range(1, t_start - 1, skip))[: num_steps]
+    return np.asarray(seq[::-1], dtype=np.int32)
+
+
 def ddim_sample_train(
     model: VFaceModel,
     params,
     x_start_noisy: jax.Array,
-    t_sequences: jax.Array,
+    t_start: int,
+    num_steps: int,
     cond: jax.Array,
     inpaint_latent: jax.Array,
     mask_latent: jax.Array,
+    log_every_t: int = 100,
 ):
-    """Train-time short reconstruction (ddim.py sample_train / ddpm.py:1696-1729).
+    """Train-time short reconstruction, runtime-exact vs the reference
+    (ddim.py ``sample_train``/``ddim_sampling_train``/``p_sample_ddim_train``
+    :378-560, called from ``p_losses_face`` ddpm.py:1702-1729).
 
-    ``t_sequences`` (S, B) int32: per-sample descending timestep chains
-    (ddim_w_inv.py:826-858 builds random per-sample sequences). Differentiable —
-    used inside `p_losses_face`; returns every step's pred_x0 (S, B, h, w, 4)
-    so the loss can decode each.
+    Runtime semantics reproduced here (each a quirk the loss depends on):
+
+    * the model is evaluated at the per-step t from
+      :func:`train_recon_timesteps`, but the DDIM update coefficients come
+      from the UNIFORM ``make_schedule(S)`` table indexed by loop position
+      (``index = S-1-i``, ddim.py:550-556) — the two grids differ by a few
+      steps and the reference never reconciles them;
+    * no CFG: ``unconditional_conditioning=None`` at ddpm.py:1725 short-cuts
+      to a single-chunk model call (ddim.py:532-534);
+    * eta = 0 (ddpm.py:1707);
+    * the returned intermediates list starts with the NOISY START LATENT
+      itself (``intermediates = {'pred_x0': [img]}``, ddim.py:482) and then
+      logs pred_x0 at ``index % log_every_t == 0 or index == S-1``
+      (ddim.py:514-516) — for S=4 that is [x_T, pred_x0@i0, pred_x0@i3].
+      ``p_losses_face`` decodes and penalises EVERY entry, including the
+      noise decode (ddpm.py:1736-1738).
+
+    Differentiable; returns ``(z_final, intermediates)`` with intermediates
+    stacked (K, B, h, w, 4).
     """
-    s_steps, b = t_sequences.shape
-    acp = jnp.asarray(model.schedule.alphas_cumprod)
-    extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+    import numpy as np
 
-    def body(x, step):
-        t_cur, t_next = step  # (B,), (B,) — t_next < t_cur (descending)
-        a_t = acp[t_cur][:, None, None, None]
-        a_prev = jnp.where(t_next[:, None, None, None] >= 0, acp[jnp.maximum(t_next, 0)][:, None, None, None], 1.0)
+    seq = train_recon_timesteps(t_start, num_steps)
+    total = len(seq)
+    sch = model.schedule
+    acp = np.asarray(sch.alphas_cumprod)
+    # make_schedule(S) uniform table (util.py:46-63): range(0, T, T//S) + 1
+    ddim_ts = np.arange(0, sch.num_timesteps, sch.num_timesteps // num_steps) + 1
+    a_tab = acp[ddim_ts]
+    a_prev_tab = np.concatenate([[acp[0]], acp[ddim_ts[:-1]]])
+
+    b = x_start_noisy.shape[0]
+    extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+    x = x_start_noisy.astype(jnp.float32)
+    inters = [x]
+    for i in range(total):
+        index = total - 1 - i
+        t = jnp.full((b,), int(seq[i]), jnp.int32)
+        a_t = jnp.float32(a_tab[index])
+        a_prev = jnp.float32(a_prev_tab[index])
         x9 = jnp.concatenate([x, extra], axis=-1)
-        e_t = model.apply_model(params, x9, t_cur, cond)
+        e_t = model.apply_model(params, x9, t, cond)
         pred_x0 = (x - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev, 0.0)) * e_t
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
-        return x_prev, pred_x0
-
-    t_cur = t_sequences
-    t_next = jnp.concatenate([t_sequences[1:], -jnp.ones((1, b), t_sequences.dtype)], axis=0)
-    x_final, pred_x0s = jax.lax.scan(body, x_start_noisy.astype(jnp.float32), (t_cur, t_next))
-    return x_final, pred_x0s
+        x = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if index % log_every_t == 0 or index == total - 1:
+            inters.append(pred_x0)
+    return x, jnp.stack(inters)
