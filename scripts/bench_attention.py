@@ -45,7 +45,11 @@ def timeit(fn, *args, reps=20):
 
 def main():
     from vface_tpu.ops.attention import multi_head_attention
-    from vface_tpu.ops.pallas_attention import flash_attention_v2, flash_attention_v3
+    from vface_tpu.ops.pallas_attention import (
+        flash_attention_v2,
+        flash_attention_v3,
+        flash_attention_v4,
+    )
 
     h, dh = 8, 40
     d = h * dh
@@ -81,6 +85,19 @@ def main():
                     )
                 except Exception as e:  # Mosaic compile failures are informative
                     results[f"flash_v3 bq={min(bq, n)}"] = f"FAIL {type(e).__name__}"
+        for bq, bk in ((256, 512), (512, 512), (512, 1024), (1024, 1024)):
+            if n % bq == 0 and n % bk == 0:
+                try:
+                    results[f"flash_v4 bq={bq} bk={bk}"] = timeit(
+                        jax.jit(
+                            lambda q, k, v, bq=bq, bk=bk: flash_attention_v4(
+                                q, k, v, h, block_q=bq, block_k=bk
+                            )
+                        ),
+                        q, k, v,
+                    )
+                except Exception as e:
+                    results[f"flash_v4 bq={bq} bk={bk}"] = f"FAIL {type(e).__name__}"
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention as jax_fa,

@@ -34,6 +34,32 @@ def test_id_retrieval_perfect():
     np.testing.assert_allclose(res["mean_cosine"], 1.0, rtol=1e-6)
 
 
+def test_id_retrieval_mask_crop_reference_semantics():
+    """mask_crop == the reference MaskedImagePathDataset (ID_retrieval.py:
+    172-229): resize 112², binarise by preserve list, bilinear mask resize,
+    multiply in [-1,1] space (masked-out = mid-gray 0.5 in [0,1] terms)."""
+    from vface_tpu.eval.id_retrieval import RETRIEVAL_PRESERVE, mask_crop
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    labels = np.zeros((2, 224, 224), np.uint8)
+    labels[:, :112] = 1  # skin (preserved in every dataset list)
+    labels[:, 112:] = 18  # not preserved for celeba
+
+    out = mask_crop(img, labels, "celeba")
+    assert out.shape == (2, 112, 112, 3)
+    # preserved half keeps image content, masked half is exactly mid-gray
+    np.testing.assert_allclose(out[:, 80:], 0.5, atol=1e-5)
+    assert np.abs(out[:, :40] - 0.5).max() > 0.1
+    # 'none' preserves everything → pure resize, nothing grayed
+    out_none = mask_crop(img, labels, "none")
+    assert np.abs(out_none - 0.5).max() > 0.1
+    assert not np.allclose(out_none[:, 80:], 0.5, atol=1e-3)
+    # preserve lists pinned to the reference's per-dataset constants
+    assert RETRIEVAL_PRESERVE["ffhq"] == (1, 2, 3, 5, 6, 7, 9)
+    assert RETRIEVAL_PRESERVE["ff++"] == (1, 2, 4, 5, 8, 9)
+
+
 def test_pose_degrees_mapping():
     import jax.numpy as jnp
 

@@ -47,3 +47,48 @@ def test_flash_v3_matches_einsum():
     ref = multi_head_attention(q, k, v, h)
     got = flash_attention_v3(q, k, v, h, block_q=128, block_k=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_v4_matches_einsum():
+    """k-blocked transposed kernel (grid over kv with scratch) == einsum."""
+    import numpy as np
+
+    from vface_tpu.ops.attention import multi_head_attention
+    from vface_tpu.ops.pallas_attention import flash_attention_v4
+
+    rng = np.random.default_rng(5)
+    b, n, h, dh = 2, 256, 4, 40
+    q = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.float32)
+    ref = multi_head_attention(q, k, v, h)
+    got = flash_attention_v4(q, k, v, h, block_q=128, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_einsum_vjp():
+    """The real Pallas flash backward (blockwise recompute, transposed
+    layout, softmax stats from the stats-forward) == the einsum VJP — the
+    kernel that removes the (N, N) materialisation from training memory."""
+    import numpy as np
+
+    from vface_tpu.ops.attention import multi_head_attention
+    from vface_tpu.ops.pallas_attention import _flash_v2_stats, flash_attention_bwd
+
+    rng = np.random.default_rng(6)
+    b, n, h, dh = 2, 256, 4, 40
+    d = h * dh
+    q, k, v, g = (
+        jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32) for _ in range(4)
+    )
+    out, m, l = _flash_v2_stats(q, k, v, h, 128, 128, True)
+    ref = multi_head_attention(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, m, l, g, h, block_q=128, block_k=128, interpret=True
+    )
+    _, vjp = jax.vjp(lambda a, b_, c: multi_head_attention(a, b_, c, h), q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=2e-5)

@@ -188,10 +188,12 @@ def flash_attention_v2(
     Block sizes tuned on v5e at the SD shapes (N=4096, dh=40): 1024²
     measured fastest (13.7 ms vs 14.6 einsum); ≥2048 exceeds VMEM.
 
-    Differentiable: the Pallas kernel has no reverse-mode rule, so a custom
-    VJP recomputes the attention with the einsum path for the backward
-    (forward values are numerically identical; training-time memory matches
-    the plain path under remat)."""
+    Differentiable with a REAL flash backward: the forward also emits the
+    per-row softmax statistics (m, l); the backward recomputes attention
+    probabilities blockwise inside two Pallas kernels (dq; dk+dv) so training
+    never materialises the (N, N) matrix — this is what unblocks 512²
+    training memory (round-2 VERDICT item 9). Falls back to the einsum VJP
+    off-TPU / on non-tiling shapes."""
     return _flash_v2_diff(q, k, v, num_heads, block_q, block_k, interpret)
 
 
@@ -200,19 +202,35 @@ def _flash_v2_diff(q, k, v, num_heads, block_q, block_k, interpret):
     return _flash_v2_impl(q, k, v, num_heads, block_q, block_k, interpret)
 
 
+def _can_tile(q, k, block_q, block_k, interpret):
+    nq, nk = q.shape[1], k.shape[1]
+    bq, bk = min(block_q, nq), min(block_k, nk)
+    return nq % bq == 0 and nk % bk == 0 and (interpret or _on_tpu())
+
+
 def _flash_v2_fwd(q, k, v, num_heads, block_q, block_k, interpret):
-    return _flash_v2_impl(q, k, v, num_heads, block_q, block_k, interpret), (q, k, v)
+    if not _can_tile(q, k, block_q, block_k, interpret):
+        return _flash_v2_impl(q, k, v, num_heads, block_q, block_k, interpret), (
+            q, k, v, None, None,
+        )
+    out, m, l = _flash_v2_stats(q, k, v, num_heads, block_q, block_k, interpret)
+    return out, (q, k, v, m, l)
 
 
 def _flash_v2_bwd(num_heads, block_q, block_k, interpret, res, g):
-    from vface_tpu.ops.attention import multi_head_attention
+    q, k, v, m, l = res
+    if m is None:
+        from vface_tpu.ops.attention import multi_head_attention
 
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: multi_head_attention(q_, k_, v_, num_heads, dtype=q_.dtype),
-        q, k, v,
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: multi_head_attention(q_, k_, v_, num_heads, dtype=q_.dtype),
+            q, k, v,
+        )
+        return vjp(g)
+    return flash_attention_bwd(
+        q, k, v, m, l, g, num_heads,
+        block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    return vjp(g)
 
 
 _flash_v2_diff.defvjp(_flash_v2_fwd, _flash_v2_bwd)
@@ -277,6 +295,239 @@ def _flash_v2_impl(
 
 
 # ---------------------------------------------------------------------------
+# flash backward: blockwise recompute, never materialises (N, N)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_v2_stats(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, block_k, kv_len, scale):
+    """v2 forward that also emits the per-row softmax stats (m, l) the
+    backward needs. Same math as _flash_kernel_v2."""
+    q = q_ref[0].astype(jnp.float32)
+    bq, dh = q.shape
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    m_ref[0] = m
+    l_ref[0] = l
+
+
+def _flash_v2_stats(q, k, v, num_heads, block_q, block_k, interpret):
+    """Forward returning (out, m (B*h, nq), l (B*h, nq))."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+
+    def split_heads(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+
+    qh, kh, vh = split_heads(q, nq), split_heads(k, nk), split_heads(v, nk)
+    grid = (b * h, nq // block_q)
+    out, m, l = pl.pallas_call(
+        functools.partial(_flash_kernel_v2_stats, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+    out = out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)
+    return out, m[..., 0], l[..., 0]
+
+
+def _flash_bwd_dq_kernel(qt_ref, kt_ref, vt_ref, dot_ref, m_ref, l_ref, d_ref, dqt_ref, *, block_k, kv_len, scale):
+    """Grid (B*h, q_blocks). All operands transposed (dh, N): the softmax
+    stats ride (1, N) rows so every broadcast runs along lanes."""
+    qt = qt_ref[0].astype(jnp.float32)  # (dh, Bq)
+    dot = dot_ref[0].astype(jnp.float32)  # (dh, Bq)
+    m = m_ref[0]  # (1, Bq)
+    l = l_ref[0]
+    dd = d_ref[0]
+    dh, bq = qt.shape
+    n_kb = kv_len // block_k
+
+    def body(i, acc):
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)  # (dh, Bk)
+        vt = vt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s_t = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bk, Bq)
+        p_t = jnp.exp(s_t - m) / l
+        dp_t = jax.lax.dot_general(
+            vt, dot, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bk, Bq)
+        ds_t = p_t * (dp_t - dd)
+        return acc + jax.lax.dot_general(
+            kt, ds_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dh, Bq)
+
+    acc = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((dh, bq), jnp.float32))
+    dqt_ref[0] = (acc * scale).astype(dqt_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(qt_ref, kt_ref, vt_ref, dot_ref, m_ref, l_ref, d_ref, dkt_ref, dvt_ref, *, block_q, q_len, scale):
+    """Grid (B*h, kv_blocks)."""
+    kt = kt_ref[0].astype(jnp.float32)  # (dh, Bk)
+    vt = vt_ref[0].astype(jnp.float32)
+    dh, bk = kt.shape
+    n_qb = q_len // block_q
+
+    def body(i, carry):
+        dkt, dvt = carry
+        sl = pl.ds(i * block_q, block_q)
+        qt = qt_ref[0, :, sl].astype(jnp.float32)  # (dh, Bq)
+        dot = dot_ref[0, :, sl].astype(jnp.float32)
+        m = m_ref[0, :, sl]  # (1, Bq)
+        l = l_ref[0, :, sl]
+        dd = d_ref[0, :, sl]
+        s_t = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bk, Bq)
+        p_t = jnp.exp(s_t - m) / l
+        dvt = dvt + jax.lax.dot_general(
+            dot, p_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dh, Bk)
+        dp_t = jax.lax.dot_general(
+            vt, dot, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bk, Bq)
+        ds_t = p_t * (dp_t - dd)
+        dkt = dkt + jax.lax.dot_general(
+            qt, ds_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (dh, Bk)
+        return dkt, dvt
+
+    z = jnp.zeros((dh, bk), jnp.float32)
+    dkt, dvt = jax.lax.fori_loop(0, n_qb, body, (z, z))
+    dkt_ref[0] = (dkt * scale).astype(dkt_ref.dtype)
+    dvt_ref[0] = dvt.astype(dvt_ref.dtype)
+
+
+def flash_attention_bwd(
+    q, k, v, m, l, g, num_heads, block_q=512, block_k=512, interpret=False
+):
+    """Flash backward. m/l: (B*h, nq) softmax stats from the stats forward;
+    g: output cotangent (B, nq, D). Returns (dq, dk, dv)."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+
+    def split_t(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 3, 1).reshape(b * h, dh, n)
+
+    qt, kt, vt, dot = split_t(q, nq), split_t(k, nk), split_t(v, nk), split_t(g, nq)
+    # out is recoverable from stats-free math: D_i = sum_d do*o. Recompute o
+    # rows cheaply from p·v? Cheaper: o = forward output — but rather than
+    # carry it, compute D with one extra flash forward? No: D = Σ_j p_ij
+    # (do_i·v_j) = rowsum(dp * p) — evaluated blockwise needs p anyway. We
+    # instead recompute o via the stats: o_i = (Σ_j e^{s-m} v_j)/l — one more
+    # pass. Simplest and cheapest in practice: reuse the v2 kernel.
+    out = _flash_v2_impl(q, k, v, num_heads, max(block_q, 256), max(block_k, 256), interpret)
+    dd = jnp.sum(
+        g.astype(jnp.float32).reshape(b, nq, h, dh)
+        * out.astype(jnp.float32).reshape(b, nq, h, dh),
+        axis=-1,
+    ).transpose(0, 2, 1).reshape(b * h, nq)
+    m2 = m.reshape(b * h, 1, nq)
+    l2 = l.reshape(b * h, 1, nq)
+    d2 = dd.reshape(b * h, 1, nq)
+
+    stat_spec_full = pl.BlockSpec((1, 1, nq), lambda gi, i: (gi, 0, 0), memory_space=pltpu.VMEM)
+    stat_spec_blk = pl.BlockSpec(
+        (1, 1, block_q), lambda gi, i: (gi, 0, i), memory_space=pltpu.VMEM
+    )
+
+    dqt = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, kv_len=nk, scale=scale),
+        grid=(b * h, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, dh, block_q), lambda gi, i: (gi, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda gi, i: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda gi, i: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_q), lambda gi, i: (gi, 0, i), memory_space=pltpu.VMEM),
+            stat_spec_blk,
+            stat_spec_blk,
+            stat_spec_blk,
+        ],
+        out_specs=pl.BlockSpec((1, dh, block_q), lambda gi, i: (gi, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, dh, nq), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qt, kt, vt, dot, m2, l2, d2)
+
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, q_len=nq, scale=scale),
+        grid=(b * h, nk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, dh, nq), lambda gi, j: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_k), lambda gi, j: (gi, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_k), lambda gi, j: (gi, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nq), lambda gi, j: (gi, 0, 0), memory_space=pltpu.VMEM),
+            stat_spec_full,
+            stat_spec_full,
+            stat_spec_full,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dh, block_k), lambda gi, j: (gi, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_k), lambda gi, j: (gi, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, dh, nk), k.dtype),
+            jax.ShapeDtypeStruct((b * h, dh, nk), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qt, kt, vt, dot, m2, l2, d2)
+
+    def merge_t(x, n):
+        return x.reshape(b, h, dh, n).transpose(0, 3, 1, 2).reshape(b, n, h * dh)
+
+    return merge_t(dqt, nq), merge_t(dkt, nk), merge_t(dvt, nk)
+
+
+# ---------------------------------------------------------------------------
 # v3: transposed (dh-on-sublanes) layout for SD's narrow heads
 # ---------------------------------------------------------------------------
 #
@@ -322,6 +573,97 @@ def _flash_kernel_v3(qt_ref, kt_ref, vt_ref, o_ref, *, block_k, kv_len, scale):
     a0 = jnp.zeros((dh, bq), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
     o_ref[0] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _flash_kernel_v4(qt_ref, kt_ref, vt_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
+    """Grid: (batch*heads, q_blocks, k_blocks) — transposed (dh, N) layout
+    with K/V DMA'd per k-block (v3 staged the full K/V per grid step, which
+    hit Mosaic's VMEM stack limit at the SD shapes; blocking fixes that while
+    keeping the layout win: PV's output dim is Bq-on-lanes, so the 40-wide dh
+    never pads to 128 on the output side)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qt = qt_ref[0].astype(jnp.float32)  # (dh, Bq)
+    kt = kt_ref[0].astype(jnp.float32)  # (dh, Bk)
+    vt = vt_ref[0].astype(jnp.float32)  # (dh, Bk)
+
+    s = jax.lax.dot_general(
+        qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk)
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        vt, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (dh, Bq)
+    acc_scr[:] = acc_scr[:] * alpha[:, 0][None, :] + pv
+    m_scr[:] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:][:, 0][None, :]).astype(o_ref.dtype)
+
+
+def flash_attention_v4(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, N, D) self-attention, transposed (dh, N) layout, k-blocked grid."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads_t(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 3, 1).reshape(b * h, dh, n)
+
+    qt, kt, vt = split_heads_t(q, nq), split_heads_t(k, nk), split_heads_t(v, nk)
+    grid = (b * h, nq // block_q, nk // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v4, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dh, block_q), lambda g, i, j: (g, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_k), lambda g, i, j: (g, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, block_k), lambda g, i, j: (g, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dh, block_q), lambda g, i, j: (g, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, dh, nq), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((dh, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out.reshape(b, h, dh, nq).transpose(0, 3, 1, 2).reshape(b, nq, d)
 
 
 def flash_attention_v3(
