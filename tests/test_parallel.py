@@ -147,5 +147,15 @@ def test_zero1_train_step(tiny_bundle):
     )
     params, opt_state, logs = step(params, opt_state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss"]))
+    # a finite loss is NOT enough: the all-zero batch once produced NaN
+    # GRADIENTS through l2-normalised zero embeddings (linalg.norm VJP is
+    # 0/0 at 0) while the loss stayed finite — the updated params must be
+    # finite or every later step / the dryrun's inference silently NaNs
+    bad = [
+        k
+        for k, l in jax.tree_util.tree_leaves_with_path(params)
+        if not bool(jnp.isfinite(l).all())
+    ]
+    assert not bad, f"non-finite params after one step: {bad[:5]}"
     leaves = [l for l in jax.tree_util.tree_leaves(opt_state) if hasattr(l, "ndim") and l.ndim >= 2]
     assert any(l.sharding.spec != P() for l in leaves)

@@ -160,15 +160,27 @@ def arcface_preprocess(images01: jax.Array) -> jax.Array:
     return x * 2.0 - 1.0
 
 
+def safe_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch ``F.normalize`` semantics: x / max(||x||, eps) along the last axis.
+
+    Unlike ``x / (linalg.norm(x) + eps)``, the gradient is finite at x == 0
+    (``linalg.norm``'s VJP is 0/0 = NaN there; the clamped-sum form kills the
+    sqrt branch entirely when the norm is in the clamp region). At realistic
+    embedding norms the two forms agree to fp32 precision.
+    """
+    n2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(n2, eps * eps))
+
+
 def id_embedding(params, images01: jax.Array, model: IRSE50 | None = None) -> jax.Array:
     """L2-normalised 512-d ID embedding from [0,1] images."""
     model = model or IRSE50()
     feats = model.apply({"params": params}, arcface_preprocess(images01))
-    return feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+    return safe_l2_normalize(feats)
 
 
 def id_loss(feats_a: jax.Array, feats_b: jax.Array) -> jax.Array:
     """1 - cosine similarity, averaged (ddpm.py:120-158 semantics)."""
-    a = feats_a / (jnp.linalg.norm(feats_a, axis=-1, keepdims=True) + 1e-8)
-    b = feats_b / (jnp.linalg.norm(feats_b, axis=-1, keepdims=True) + 1e-8)
+    a = safe_l2_normalize(feats_a)
+    b = safe_l2_normalize(feats_b)
     return jnp.mean(1.0 - jnp.sum(a * b, axis=-1))

@@ -115,10 +115,12 @@ class Conditioner(nn.Module):
 
         c2 = jnp.zeros_like(c)
         if cfg.id_weight > 0 and src_face01 is not None:
+            from vface_tpu.models.arcface import safe_l2_normalize
+
             feats = self.arcface(arcface_preprocess(src_face01))
             # the reference's extract_feats ends in l2_norm (model_irse.py:69)
             # — ID_proj_out consumes the NORMALISED embedding (ddpm.py:1010-1011)
-            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+            feats = safe_l2_normalize(feats)
             c2 = self.id_proj_out(feats)[:, None, :]
 
         lm_raw = None

@@ -265,7 +265,9 @@ def p_losses_face(
             f = arcface.apply(
                 {"params": params["cond"]["arcface"]}, arcface_preprocess(img01)
             )
-            return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+            from vface_tpu.models.arcface import safe_l2_normalize
+
+            return safe_l2_normalize(f)  # NaN-free grad at f == 0 (zero batch)
 
         if ref_face01_f is not None:
             ref01_f = ref_face01_f

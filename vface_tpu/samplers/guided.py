@@ -36,8 +36,10 @@ def _id_similarity(model: VFaceModel, params, pred_x0, src_emb, keep_mask_img):
     img01 = jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
     face = img01 * (1.0 - keep_mask_img)
     arcface = IRSE50(stages=model.cfg.cond.arcface_stages)
+    from vface_tpu.models.arcface import safe_l2_normalize
+
     emb = arcface.apply({"params": params["cond"]["arcface"]}, arcface_preprocess(face))
-    emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+    emb = safe_l2_normalize(emb)
     return jnp.sum(emb * src_emb, axis=-1)  # (B,)
 
 
