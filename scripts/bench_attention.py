@@ -58,7 +58,7 @@ def main():
     if "--packed" in sys.argv:
         # packed-window batches (batch_windows 2/4 → b=24/48)
         cases += [("ds1 packed bw=2", 24, 4096), ("ds1 packed bw=4", 48, 4096),
-                  ("ds2 packed bw=4", 48, 1024)]
+                  ("ds2 packed bw=2", 24, 1024), ("ds2 packed bw=4", 48, 1024)]
     for name, b, n in cases:
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(k1, (b, n, d), jnp.bfloat16)

@@ -87,3 +87,28 @@ def test_flow_chain_variants():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
     out = batch_flow_align(x, zero_flow, ident, ident, alpha=1.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_single_token_cross_attention_shortcut_bit_exact():
+    """kv_len==1 cross-attention: softmax over one key is exactly 1.0, so the
+    module's fast path (out = v broadcast; to_q/scores/AV dead-coded) must be
+    BIT-equal to the generic einsum path in both dtypes. Guards the VFace
+    image-conditioning operating point (reference ddpm.py's mapper2 emits one
+    CLIP/ID token)."""
+    from vface_tpu.models.unet import CrossAttention
+    from vface_tpu.ops.attention import multi_head_attention
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        mod = CrossAttention(64, context_dim=32, heads=4, dtype=dtype)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 50, 64))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 32))
+        params = mod.init(jax.random.PRNGKey(2), x, ctx)
+        out = mod.apply(params, x, ctx)
+        p = params["params"]
+        assert "to_q" in p  # params must exist for checkpoint conversion
+        q = x.astype(dtype) @ p["to_q"]["kernel"].astype(dtype)
+        k = ctx.astype(dtype) @ p["to_k"]["kernel"].astype(dtype)
+        v = ctx.astype(dtype) @ p["to_v"]["kernel"].astype(dtype)
+        o = multi_head_attention(q, k, v, 4, dtype=dtype)
+        ref = o @ p["to_out"]["kernel"].astype(dtype) + p["to_out"]["bias"].astype(dtype)
+        assert jnp.all(out == ref), f"shortcut not bit-exact at {dtype}"

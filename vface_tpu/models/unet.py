@@ -175,7 +175,16 @@ class CrossAttention(nn.Module):
             q = q.astype(self.dtype)
             k = k.astype(self.dtype)
             v = v.astype(self.dtype)
-        if (
+        if context is not None and k.shape[1] == 1 and not fusion.active:
+            # single-token context (the VFace image-conditioning operating
+            # point: mapper2 emits ONE CLIP/ID token — reference ddpm.py's
+            # learnable projection, and the dual 2x768 context is also one
+            # token per stream): softmax over one key is exactly 1.0, so the
+            # attention output equals v for every query, per head — the to_q
+            # projection, scores, softmax and AV matmuls are all dead
+            # compute. Bit-exact to the einsum path (1.0 * v in fp32 == v).
+            out = jnp.broadcast_to(v, (v.shape[0], x.shape[1], v.shape[-1]))
+        elif (
             self.use_flash
             and context is None
             and x.shape[1] >= self.dpa_min_tokens
