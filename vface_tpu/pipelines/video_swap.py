@@ -609,12 +609,28 @@ class VideoSwapPipeline:
         out_frames = []
         w = opts.window * max(1, opts.batch_windows)
         carry = None  # cross-window FGATS state (opts.cross_window_carry)
+        pending = None  # (s0, device array) awaiting fetch+sink (resumable mode)
+
+        def _flush_pending():
+            # fetch + persist the PREVIOUS window only after the next one is
+            # dispatched: the D2H transfer and PNG writes overlap compute
+            nonlocal pending
+            if pending is None:
+                return
+            ps0, parr = pending
+            pending = None
+            arr = np.asarray(parr)
+            paths = window_sink(ps0, arr)
+            manifest.mark_done(ps0, arr.shape[0], paths)
+            out_frames.append(arr)
+
         for s0 in range(0, n, w):
             sl = slice(s0, min(s0 + w, n))
             if manifest is not None and manifest.is_done(s0):
                 # preemption-safe resume: completed windows are skipped and
                 # re-read from the sink's storage (reference idempotency,
                 # VFace_inference_batch.py:889-891 / SURVEY §5)
+                _flush_pending()
                 done = manifest.data["windows"][str(s0)]
                 cached = [np.asarray(_load_png01(p)) for p in done["outputs"]]
                 out_frames.append(np.stack(cached))
@@ -659,15 +675,21 @@ class VideoSwapPipeline:
                 pasted, carry = pasted
             else:
                 carry = None
+            # Kick off the D2H copy NOW and defer the fetch: the transfer of
+            # window i rides under window i+1's compute instead of
+            # serialising (the tunnel's ~4 s/window fetch was previously all
+            # exposed — per window in resumable mode, at the end otherwise).
+            if hasattr(pasted, "copy_to_host_async"):
+                pasted.copy_to_host_async()
             if manifest is not None and window_sink is not None:
-                # resumable mode: fetch per window so progress is durable
-                pasted = np.asarray(pasted)
-                paths = window_sink(s0, pasted)
-                manifest.mark_done(s0, pasted.shape[0], paths)
-            # otherwise keep the device array: dispatch stays async, so the
-            # next window's host-side prep overlaps this window's compute
-            # (SURVEY §7 hard part 5); everything is fetched once at the end
-            out_frames.append(pasted)
+                # resumable mode: window i is fetched + persisted right after
+                # window i+1 is dispatched, so progress stays durable per
+                # window while transfers and PNG writes overlap compute
+                _flush_pending()
+                pending = (s0, pasted)
+            else:
+                out_frames.append(pasted)
+        _flush_pending()
         return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
 
 def _load_png01(path: str) -> np.ndarray:
@@ -698,7 +720,9 @@ def swap_video_frames_multiface(
     det = FaceDetector()
     frames = jnp.asarray(frames01)
     heat, size, off = det.apply({"params": aux_params["detector"]}, frames)
-    boxes, scores = decode_detections(heat, size, off, top_k=top_k)
+    boxes, scores = decode_detections(
+        heat, size, off, top_k=top_k, image_hw=frames.shape[1:3]
+    )
     boxes_np = np.asarray(boxes)
     scores_np = np.asarray(scores)
 
