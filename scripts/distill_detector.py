@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Distill `FaceDetector` weights from multi-face synthetic scenes.
+
+The reference detects one face per frame with dlib's HOG+SVM
+(`/root/reference/REFace/src/utils/alignmengt.py:39-81`); our TPU-native
+replacement is an anchor-free center-heatmap net
+(`vface_tpu.preprocess.detector.FaceDetector`).  No dlib teacher exists
+in-environment, so supervision comes from the photo-domain scene renderer
+(`vface_tpu.preprocess.synthetic_faces.render_scene`: 1-4 non-overlapping
+faces over cluttered backgrounds, exact box GT from the landmark geometry).
+
+Targets (standard CenterNet):
+* heatmap — a Gaussian splat per face center (sigma = box size / 6),
+  penalty-reduced focal loss (alpha 2, beta 4);
+* size — log-parameterized w/h at the center cell (the net emits softplus
+  pre-activations), masked L1;
+* offset — sub-cell center remainder at the center cell, masked L1.
+
+Tunneled-TPU efficiency: dataset rides to the device once as uint8; training
+runs as chunked `lax.scan` programs (one remote dispatch per ``--chunk``
+steps).
+
+Run: VFACE_PLATFORM= python scripts/distill_detector.py --out vface_tpu/weights/detector.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vface_tpu.utils.platform import apply_platform_from_env  # noqa: E402
+
+apply_platform_from_env()
+
+STRIDE = 8
+
+
+def build_targets(boxes: np.ndarray, valid: np.ndarray, size: int):
+    """(N, K, 4) [cx, cy, w, h] px + (N, K) valid → heat (N, h, w, 1),
+    size_t (N, h, w, 2) (pre-softplus px/stride), off_t (N, h, w, 2),
+    mask (N, h, w, 1)."""
+    n, k, _ = boxes.shape
+    h = w = size // STRIDE
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    heat = np.zeros((n, h, w, 1), np.float32)
+    size_t = np.zeros((n, h, w, 2), np.float32)
+    off_t = np.zeros((n, h, w, 2), np.float32)
+    mask = np.zeros((n, h, w, 1), np.float32)
+    for i in range(n):
+        for j in range(k):
+            if not valid[i, j]:
+                continue
+            cx, cy, bw, bh = boxes[i, j] / STRIDE
+            sigma = max(1.0, (bw + bh) / 12.0)
+            g = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
+            heat[i, :, :, 0] = np.maximum(heat[i, :, :, 0], g)
+            ix, iy = int(np.clip(cx, 0, w - 1)), int(np.clip(cy, 0, h - 1))
+            size_t[i, iy, ix] = (bw, bh)
+            off_t[i, iy, ix] = (cx - ix, cy - iy)
+            mask[i, iy, ix, 0] = 1.0
+    return heat, size_t, off_t, mask
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n_data", type=int, default=6144)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="detector.npz")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vface_tpu.preprocess.detector import FaceDetector, decode_detections
+    from vface_tpu.preprocess.synthetic_faces import render_scene
+    from vface_tpu.runtime.checkpoint import save_params_npz
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    scenes, boxes, valids = [], [], []
+    for _ in range(args.n_data):
+        img, bx, vl = render_scene(rng, args.size)
+        scenes.append(np.clip(img * 255.0, 0, 255).astype(np.uint8))
+        boxes.append(bx)
+        valids.append(vl)
+    scenes = np.stack(scenes)
+    boxes = np.stack(boxes)
+    valids = np.stack(valids)
+    print(f"[detector] rendered {args.n_data} scenes in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    heat_t, size_t, off_t, mask_t = build_targets(boxes, valids, args.size)
+
+    net = FaceDetector(detect_size=args.size)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3))
+    )["params"]
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    ds = dict(
+        img=jax.device_put(scenes),
+        heat=jax.device_put(heat_t),
+        size=jax.device_put(size_t),
+        off=jax.device_put(off_t),
+        mask=jax.device_put(mask_t),
+    )
+
+    def one_step(ds, carry, idx):
+        params, opt_state = carry
+        imgs = ds["img"][idx].astype(jnp.float32) / 255.0
+        ht, st, ot, mk = ds["heat"][idx], ds["size"][idx], ds["off"][idx], ds["mask"][idx]
+
+        def loss_fn(p):
+            heat, size, off = net.apply({"params": p}, imgs)
+            heat = jnp.clip(heat, 1e-5, 1.0 - 1e-5)
+            pos = (ht >= 0.999).astype(jnp.float32)
+            # penalty-reduced focal loss (CenterNet eq. 1)
+            l_pos = -pos * (1 - heat) ** 2 * jnp.log(heat)
+            l_neg = -(1 - pos) * (1 - ht) ** 4 * heat**2 * jnp.log(1 - heat)
+            n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+            l_heat = (jnp.sum(l_pos) + jnp.sum(l_neg)) / n_pos
+            # size/offset: match the decoder's parameterization exactly
+            # (decode does softplus(size_head) * stride)
+            l_size = jnp.sum(mk * jnp.abs(jax.nn.softplus(size) - st)) / n_pos
+            l_off = jnp.sum(mk * jnp.abs(off - ot)) / n_pos
+            return l_heat + 0.3 * l_size + l_off
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def run_chunk(params, opt_state, idx_chunk, ds):
+        (params, opt_state), losses = jax.lax.scan(
+            lambda c, i: one_step(ds, c, i), (params, opt_state), idx_chunk
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    order_rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        k = min(args.chunk, args.steps - done)
+        idx = order_rng.integers(0, args.n_data, (k, args.batch)).astype(np.int32)
+        params, opt_state, loss = run_chunk(params, opt_state, jnp.asarray(idx), ds)
+        done += k
+        print(f"[detector] step {done}/{args.steps} loss {float(loss):.4f} "
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+
+    # held-out eval: recall / center error on fresh scenes
+    ev_rng = np.random.default_rng(123)
+    n_ev, hit, tot, cerr = 64, 0, 0, []
+    ev_imgs, ev_boxes, ev_valid = [], [], []
+    for _ in range(n_ev):
+        img, bx, vl = render_scene(ev_rng, args.size)
+        ev_imgs.append(img)
+        ev_boxes.append(bx)
+        ev_valid.append(vl)
+    heat, size, off = jax.jit(lambda p, x: net.apply({"params": p}, x))(
+        params, jnp.asarray(np.stack(ev_imgs))
+    )
+    dets, scores = decode_detections(heat, size, off, top_k=4)
+    dets, scores = np.asarray(dets), np.asarray(scores)
+    for i in range(n_ev):
+        for j in range(4):
+            if not ev_valid[i][j]:
+                continue
+            tot += 1
+            gt = ev_boxes[i][j]
+            d = np.linalg.norm(dets[i, :, :2] - gt[:2], axis=-1)
+            best = int(np.argmin(d))
+            if d[best] < 0.5 * max(gt[2], gt[3]) and scores[i, best] > 0.3:
+                hit += 1
+                cerr.append(d[best])
+    print(f"[detector] held-out recall {hit}/{tot} = {hit/max(tot,1):.3f}, "
+          f"center err {np.mean(cerr) if cerr else -1:.2f} px", flush=True)
+
+    save_params_npz(args.out, jax.device_get(params))
+    print(f"saved FaceDetector weights to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,19 +18,42 @@ and run the per-face pipeline, compositing paste-backs in score order.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class FaceDetector(nn.Module):
-    """(B, S, S, 3) in [0,1] → heatmap (B, s/8, s/8, 1), size (…, 2), offset (…, 2)."""
+    """(B, H, W, 3) in [0,1] → heatmap (B, d/8, d/8, 1), size (…, 2), offset (…, 2)
+    where d = ``detect_size``.
+
+    Domain-transfer design (same as `LandmarkNet` v2): inputs are resized to
+    one canonical detection scale and reduced to a photometric-invariant
+    per-image-standardized gray+gradient featurization, so synthetic-trained
+    weights transfer to real photos.  Decoded boxes live in detect-space;
+    `decode_detections(..., image_hw=)` maps them back to frame pixels.
+    """
 
     width: int = 32
+    detect_size: int = 256
 
     @nn.compact
     def __call__(self, x):
+        b, in_h, in_w, _ = x.shape
         w = self.width
+        if (in_h, in_w) != (self.detect_size, self.detect_size):
+            x = jax.image.resize(
+                x, (b, self.detect_size, self.detect_size, 3), method="bilinear"
+            )
+        g = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        mu = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+        sd = jnp.std(g, axis=(1, 2, 3), keepdims=True) + 1e-5
+        g = (g - mu) / sd
+        gx = jnp.pad(g[:, :, 1:] - g[:, :, :-1], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        gy = jnp.pad(g[:, 1:] - g[:, :-1], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        x = jnp.concatenate([g, gx, gy], axis=-1)
         for i, (ch, stride) in enumerate(
             [(w, 2), (w * 2, 1), (w * 2, 2), (w * 4, 1), (w * 4, 2), (w * 4, 1)]
         ):
@@ -50,11 +73,14 @@ def decode_detections(
     offset: jax.Array,    # (B, h, w, 2)
     top_k: int = 4,
     stride: int = 8,
+    image_hw: tuple[int, int] | None = None,
 ):
     """→ boxes (B, K, 4) [cx, cy, w, h] in pixels + scores (B, K).
 
     Max-pool NMS: a location survives only if it is its 3×3 neighborhood's
-    maximum (standard CenterNet decoding); then static top-K.
+    maximum (standard CenterNet decoding); then static top-K.  When the
+    detector ran on a resized canonical frame, pass the ORIGINAL frame's
+    ``image_hw`` — boxes are rescaled from detect-space to frame pixels.
     """
     b, h, w, _ = heat.shape
     hm = heat[..., 0]
@@ -72,8 +98,38 @@ def decode_detections(
     cy = (ys + off_k[..., 1]) * stride
     bw = jax.nn.softplus(sz_k[..., 0]) * stride
     bh = jax.nn.softplus(sz_k[..., 1]) * stride
+    if image_hw is not None:
+        sy = image_hw[0] / (h * stride)
+        sx = image_hw[1] / (w * stride)
+        cx, bw = cx * sx, bw * sx
+        cy, bh = cy * sy, bh * sy
     boxes = jnp.stack([cx, cy, bw, bh], axis=-1)
     return boxes, scores
+
+
+DEFAULT_DETECTOR_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights", "detector.npz",
+)
+
+
+def load_default_detector_params(path: str = DEFAULT_DETECTOR_WEIGHTS):
+    """Shipped FaceDetector weights (distilled on multi-face synthetic scenes,
+    `scripts/distill_detector.py`). Returns the param tree, or None when no
+    checkpoint is present (callers then fall back to random init)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+
+    from vface_tpu.runtime.checkpoint import load_params_npz
+
+    net = FaceDetector()
+    like = jax.eval_shape(
+        lambda r: net.init(r, jnp.zeros((1, 64, 64, 3)))["params"], jax.random.PRNGKey(0)
+    )
+    like = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), like)
+    return load_params_npz(path, like)
 
 
 def crop_boxes(images01: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
