@@ -57,12 +57,13 @@ def const_params(module, *args):
 
 def time_variant(name, cfg, patches=()):
     from vface_tpu.models import layers as L
+    from vface_tpu.models import unet as U
     from vface_tpu.models.unet import UNetModel
 
     saved = {}
     for cls_name, attr in patches:
-        cls = getattr(L, cls_name)
-        saved[cls_name] = cls.__call__
+        cls = getattr(L, cls_name, None) or getattr(U, cls_name)
+        saved[cls] = cls.__call__
         cls.__call__ = lambda self, x, *a, **k: x
     try:
         unet = UNetModel(cfg)
@@ -97,8 +98,8 @@ def time_variant(name, cfg, patches=()):
         )
         return per_eval
     finally:
-        for cls_name, fn in saved.items():
-            getattr(L, cls_name).__call__ = fn
+        for cls, fn in saved.items():
+            cls.__call__ = fn
 
 
 def main():
@@ -113,25 +114,22 @@ def main():
 
     print(f"platform: {jax.devices()[0].platform}  B={B} HL={HL}", flush=True)
     base = UNetConfig.sd_v1_inpaint()
+
+    variants = {
+        "full": (base, ()),
+        "no_attn": (dataclasses.replace(base, attention_resolutions=()), ()),
+        "no_ds1attn": (dataclasses.replace(base, attention_resolutions=(2, 4)), ()),
+        "no_ff": (base, (("FeedForward", None),)),
+        "no_gn": (base, (("GroupNorm32", None),)),
+        "no_remat": (dataclasses.replace(base, use_remat=False), ()),
+        "einsum": (dataclasses.replace(base, use_flash=False), ()),
+        "no_norm": (base, (("GroupNorm32", None), ("LayerNormF32", None))),
+    }
     results = {}
-
-    def want(name):
-        return only is None or name in only
-
-    if want("full"):
-        results["full"] = time_variant("full", base)
-    if only is not None and set(only) == {"full"}:
-        print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
-        return
-    results["no_attn"] = time_variant(
-        "no_attn", dataclasses.replace(base, attention_resolutions=())
-    )
-    results["no_gn"] = time_variant("no_gn", base, patches=[("GroupNorm32", None)])
-    results["no_remat"] = time_variant("no_remat", dataclasses.replace(base, use_remat=False))
-    results["einsum"] = time_variant("einsum", dataclasses.replace(base, use_flash=False))
-    results["no_norm"] = time_variant(
-        "no_norm", base, patches=[("GroupNorm32", None), ("LayerNormF32", None)]
-    )
+    for name, (cfg, patches) in variants.items():
+        if only is not None and name not in only:
+            continue
+        results[name] = time_variant(name, cfg, patches=patches)
     print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
 
 
