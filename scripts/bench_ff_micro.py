@@ -53,6 +53,12 @@ class Stack(nn.Module):
             h = x
             if self.variant != "ff_noln":
                 h = LayerNormF32(name=f"ln{i}")(h)
+            if self.variant == "ff_fused":
+                from vface_tpu.models.unet import FeedForward
+
+                h = FeedForward(C, dtype=DT, use_fused=True, name=f"ff{i}")(h)
+                x = x + h
+                continue
             if self.variant == "dense_floor":
                 h = nn.Dense(inner, dtype=DT, param_dtype=jnp.float32, name=f"p{i}")(h)
                 h = nn.Dense(C, dtype=DT, param_dtype=jnp.float32, name=f"o{i}")(h)
@@ -91,7 +97,7 @@ def main():
     print(f"matmul TFLOP/eval: {flops/1e12:.3f}  (v5e floor ~{flops/197e12*1e3:.1f} ms)",
           flush=True)
     results = {}
-    for variant in ["ff", "ff_noln", "ff_bf16gelu", "ff_tanh", "ff_nogelu", "dense_floor"]:
+    for variant in ["ff", "ff_fused", "ff_noln", "ff_bf16gelu", "ff_tanh", "ff_nogelu", "dense_floor"]:
         if only is not None and variant not in only:
             continue
         m = Stack(variant)

@@ -85,11 +85,14 @@ class UNetConfig:
     # self-attn sites with N >= this use jax.nn.dot_product_attention
     # instead of the Pallas kernel (set huge to disable)
     dpa_min_tokens: int = 2048
+    # fused GEGLU FeedForward kernel (ops/pallas_ff.py) — identical math,
+    # ~2x less HBM traffic on TPU; plain-XLA fallback elsewhere
+    use_fused_ff: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
     def sd_v1_inpaint(cls, dtype=jnp.bfloat16, use_flash: bool = True):
-        return cls(dtype=dtype, use_flash=use_flash)
+        return cls(dtype=dtype, use_flash=use_flash, use_fused_ff=True)
 
     @classmethod
     def tiny(cls):
@@ -227,14 +230,55 @@ class GEGLU(nn.Module):
         return h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
 
 
+class _ProjParams(nn.Module):
+    """Parameter holder keeping nn.Dense's ``<name>/{kernel,bias}`` tree path
+    (and init) so the fused-FF path shares checkpoints with the unfused one."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _GEGLUParams(nn.Module):
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        return _ProjParams(self.dim, self.inner * 2, name="proj")()
+
+
 class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="geglu")(x)
+        inner = self.dim * self.mult
+        if self.use_fused:
+            # single-kernel GEGLU FF (ops/pallas_ff.py): same params, same
+            # math, ~2x less HBM traffic than the unfused chain on TPU
+            from vface_tpu.ops.pallas_ff import geglu_ff
+
+            wp, bp = _GEGLUParams(self.dim, inner, name="geglu")()
+            wo, bo = _ProjParams(inner, self.dim, name="proj_out")()
+            dt = self.dtype
+            return geglu_ff(
+                x.astype(dt), wp.astype(dt), bp.astype(dt), wo.astype(dt), bo.astype(dt)
+            )
+        h = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out")(h)
 
 
@@ -250,6 +294,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     dpa_min_tokens: int = 2048
+    use_fused_ff: bool = False
 
     @nn.compact
     def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
@@ -264,7 +309,9 @@ class BasicTransformerBlock(nn.Module):
             self.dim, self.context_dim, heads=self.heads, dtype=self.dtype, name="attn2"
         )(h, context)
         h = LayerNormF32(dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x + FeedForward(
+            self.dim, dtype=self.dtype, use_fused=self.use_fused_ff, name="ff"
+        )(h)
 
 
 class SpatialTransformer(nn.Module):
@@ -280,6 +327,7 @@ class SpatialTransformer(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     dpa_min_tokens: int = 2048
+    use_fused_ff: bool = False
 
     @nn.compact
     def __call__(self, x, context, fusion: FusionConfig, chunks: int, flow):
@@ -292,6 +340,7 @@ class SpatialTransformer(nn.Module):
             x = BasicTransformerBlock(
                 self.channels, self.context_dim, self.heads, dtype=self.dtype,
                 use_flash=self.use_flash, dpa_min_tokens=self.dpa_min_tokens,
+                use_fused_ff=self.use_fused_ff,
                 name=f"block_{i}",
             )(x, context, fusion, chunks, flow)
         x = x.reshape(b, h, w, c)
@@ -397,7 +446,8 @@ class UNetModel(nn.Module):
             st = SpatialTransformer(
                 ch, cfg.context_dim, cfg.num_heads, cfg.transformer_depth,
                 dtype=dtype, use_flash=cfg.use_flash,
-                dpa_min_tokens=cfg.dpa_min_tokens, name=name,
+                dpa_min_tokens=cfg.dpa_min_tokens,
+                use_fused_ff=cfg.use_fused_ff, name=name,
             )
             fus = inj.for_site(site)
             if cfg.use_remat:
