@@ -58,9 +58,13 @@ def build_targets(boxes: np.ndarray, valid: np.ndarray, size: int):
                 continue
             cx, cy, bw, bh = boxes[i, j] / STRIDE
             sigma = max(1.0, (bw + bh) / 12.0)
-            g = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma**2))
-            heat[i, :, :, 0] = np.maximum(heat[i, :, :, 0], g)
             ix, iy = int(np.clip(cx, 0, w - 1)), int(np.clip(cy, 0, h - 1))
+            # gaussian centred on the INT cell (CenterNet): the peak cell is
+            # exactly 1, so it is unambiguously the positive for the focal
+            # loss (a fractional-centre gaussian peaks below 1 and a
+            # `heat >= 0.999` positive test silently drops faces)
+            g = np.exp(-((xs - ix) ** 2 + (ys - iy) ** 2) / (2 * sigma**2))
+            heat[i, :, :, 0] = np.maximum(heat[i, :, :, 0], g)
             size_t[i, iy, ix] = (bw, bh)
             off_t[i, iy, ix] = (cx - ix, cy - iy)
             mask[i, iy, ix, 0] = 1.0
@@ -125,7 +129,7 @@ def main():
         def loss_fn(p):
             heat, size, off = net.apply({"params": p}, imgs)
             heat = jnp.clip(heat, 1e-5, 1.0 - 1e-5)
-            pos = (ht >= 0.999).astype(jnp.float32)
+            pos = mk  # positives = the size/offset cells, same set
             # penalty-reduced focal loss (CenterNet eq. 1)
             l_pos = -pos * (1 - heat) ** 2 * jnp.log(heat)
             l_neg = -(1 - pos) * (1 - ht) ** 4 * heat**2 * jnp.log(1 - heat)
