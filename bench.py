@@ -9,12 +9,18 @@ CFG 3.0: `VFace_video_swap_batch.sh` / `scripts/VFace_inference_batch.py:
 separately in `scripts/bench_e2e_phases.py`: <0.2 s/window once jitted), as
 is tunnel transfer time, matching the A100 baseline's accounting.
 
-Operating point notes (all output-exact vs the reference semantics):
-* dead-compute removals: co-inverted source chunk and inert TSG recon chunk
-  skipped (bit-identical; see vface_tpu/pipelines/video_swap.py);
+Operating point notes (all output-exact vs the reference semantics,
+pinned by tests/test_pipeline_e2e.py):
+* dead-compute removals: co-inverted source chunk, inert TSG recon chunk,
+  the discarded final inversion step, and the eta=0 noise term skipped
+  (bit-identical; see vface_tpu/pipelines/video_swap.py);
 * `batch_windows=2`: two consecutive windows ride one program with the FGATS
   blend masked at the boundary — bit-equal to separate windows, better MXU
-  utilisation (sweep: bw=1/2/4 → 0.685/0.785/0.795 window-only f/s);
+  utilisation;
+* `invert_packs=2` (the super-pack program): two packs' inversions run as
+  ONE b=24 scan — the measured v5e per-row batch sweet spot
+  (scripts/bench_batch_scaling.py: b=12 8.00 vs b=24 7.08 ms/row) — then
+  each pack samples at its usual b=24, with VAE/background/paste at b=24;
 * flow is the gather-free dense-lookup RAFT (157 ms/window, bit-matching).
 
 Tunneled-TPU backend notes: one jitted program per stage (every distinct
@@ -24,7 +30,7 @@ a no-op on this backend — completion is forced by fetching a scalar.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline: the torch reference path at the same operating point measures
 ≈0.30 swapped frames/s on an A100 (50-step inversion + 50-step 3-chunk
-sampling dominate).
+sampling dominate; derivation in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -53,11 +59,12 @@ def main():
     model = VFaceModel(ModelConfig.sd_v1_inpaint())
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
-    # 50-step DDIM + 50-step inversion, 512², CFG 3.0; two 6-frame windows
-    # packed per program (bit-equal to separate windows via pair_mask)
-    opts = SwapOptions(batch_windows=2)
+    # 50-step DDIM + 50-step inversion, 512², CFG 3.0; the super-pack program:
+    # 2 packs × (2 windows × 6 frames), inversion batched at b=24
+    opts = SwapOptions(batch_windows=2, invert_packs=2)
     pipe = VideoSwapPipeline(model, opts)
-    f = opts.window * opts.batch_windows
+    w = opts.window * opts.batch_windows  # frames per pack
+    f = 2 * w                             # frames per super-pack program
     s = opts.image_size
     d = model.cfg.unet.context_dim
 
@@ -74,23 +81,20 @@ def main():
     cond = jax.random.normal(jax.random.PRNGKey(2), (f, 1, d))
     uncond = jax.random.normal(jax.random.PRNGKey(3), (f, 1, d))
     inv_c = jax.random.normal(jax.random.PRNGKey(4), (f, 1, d))
-    c_src = jax.random.normal(jax.random.PRNGKey(5), (f, 1, d))
-    src = jax.random.normal(jax.random.PRNGKey(6), (1, s, s, 3)) * 0.2
-    src_keep = jnp.ones((1, s, s, 1))
     # identity frame→crop perspective (a,b,c,d,e,f,g,h)
     ident = np.tile(np.asarray([1, 0, 0, 0, 1, 0, 0, 0], np.float32), (f, 1))
     inv_coeffs = jnp.asarray(ident)
-    m = np.ones((f - 1,), np.float32)
-    for b0 in range(opts.window, f, opts.window):
+    # within-pack FGATS boundary mask (between the two windows of each pack)
+    m = np.ones((w - 1,), np.float32)
+    for b0 in range(opts.window, w, opts.window):
         m[b0 - 1] = 0.0
-    pair_mask = jnp.asarray(m)
+    pm = jnp.asarray(m)
 
     def run():
         flow = pipe.compute_flow(aux, crops01)
-        out = pipe.swap_window_pasted(
+        out = pipe._superpack_jit(
             params, frames01, inv_coeffs, crops01 * 2 - 1, keep,
-            cond, uncond, inv_c, c_src, src, src_keep, flow,
-            pair_mask=pair_mask,
+            cond, uncond, inv_c, flow, pm, pm, has_flow=True,
         )
         return float(jax.device_get(jnp.mean(out)))
 

@@ -140,3 +140,33 @@ def test_mix():
     a = np.full((2, 2), 2.0, np.float32)
     b = np.zeros((2, 2), np.float32)
     np.testing.assert_allclose(np.asarray(fusion.mix(a, b, alpha=0.5)), 1.0)
+
+
+def test_fuse_qkv_bystander_rows_untouched(rng):
+    """FusionConfig.bystander excludes trailing rows from fusion entirely
+    (the pipelined pack's inversion sub-batch): the fused part equals a
+    bystander-free call and the trailing rows pass through bit-identically."""
+    import jax.numpy as jnp
+
+    from vface_tpu.ops.attention import FusionConfig, fuse_qkv
+
+    f, g, n, d = 3, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(2 * f + g, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2 * f + g, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2 * f + g, n, d)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(f - 1, 4, 4, 2)).astype(np.float32))
+    for mode in ("fft", "flow_fix", "adain", "mix", "replace", "fft_vfixed"):
+        cfg = FusionConfig(
+            mode, two_chunk_replace=False, bystander=g, flow_tokens=n
+        )
+        q2, k2, v2, carry = fuse_qkv(q, k, v, cfg, chunks=2, flow=flow)
+        base = FusionConfig(mode, two_chunk_replace=False, flow_tokens=n)
+        q0, k0, v0, carry0 = fuse_qkv(
+            q[:-g], k[:-g], v[:-g], base, chunks=2, flow=flow
+        )
+        np.testing.assert_array_equal(np.asarray(q2[:-g]), np.asarray(q0), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(k2[:-g]), np.asarray(k0), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(v2[:-g]), np.asarray(v0), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(q2[-g:]), np.asarray(q[-g:]), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(k2[-g:]), np.asarray(k[-g:]), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(v2[-g:]), np.asarray(v[-g:]), err_msg=mode)

@@ -203,6 +203,64 @@ def test_cross_window_fgats_carry(tiny_bundle):
     assert np.isfinite(we_on) and we_on <= we_off * 1.25
 
 
+@pytest.fixture(scope="module")
+def fgats_clip_baseline(pipeline):
+    """Shared sequential-loop golden output for the pack-restructuring
+    exactness tests (pipeline_packs / invert_packs): ONE 10-frame clip at
+    window 3 with FGATS active at the tiny token count, run once through
+    the plain sequential loop. 10 frames = 3 full packs + a remainder, so
+    every variant exercises its special path AND the shared edges."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    hl = pipe.model.cfg.latent_size
+    opts = dc.replace(pipe.opts, flow_tokens=hl * hl)
+    frames = np.random.default_rng(50).uniform(0, 1, (10, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(51).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    pipe_seq = VideoSwapPipeline(pipe.model, opts)
+    pipe_seq.raft = pipe.raft
+    seq = pipe_seq.swap_video_frames(params, aux_params, frames, source)
+    return opts, frames, source, seq
+
+
+def test_pipelined_packs_match_sequential(pipeline, fgats_clip_baseline):
+    """pipeline_packs (pack i+1's inversion riding pack i's sampling evals as
+    fusion-neutral bystander rows) is output-exact vs the sequential loop —
+    with FGATS ACTIVE at the tiny token count, so the bystander exclusion is
+    what keeps the inversion rows hook-free. Covers prologue, steady-state,
+    epilogue, and the trailing short window."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    opts, frames, source, seq = fgats_clip_baseline
+    pipe_pl = VideoSwapPipeline(pipe.model, dc.replace(opts, pipeline_packs=True))
+    pipe_pl.raft = pipe.raft
+    pl = pipe_pl.swap_video_frames(params, aux_params, frames, source)
+    np.testing.assert_allclose(pl, seq, atol=2e-5)
+
+
+def test_superpacks_match_sequential(pipeline, fgats_clip_baseline):
+    """invert_packs=2 (two packs' inversions in one wider scan, sampling and
+    VAE stages re-batched) is output-exact vs the sequential loop — FGATS
+    active at the tiny token count, so the per-pack flow slicing is what
+    keeps the packs independent. 10 frames @ window 3 covers the super-pack,
+    the odd trailing pack, and the short remainder."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    opts, frames, source, seq = fgats_clip_baseline
+    pipe_sp = VideoSwapPipeline(pipe.model, dc.replace(opts, invert_packs=2))
+    pipe_sp.raft = pipe.raft
+    sp = pipe_sp.swap_video_frames(params, aux_params, frames, source)
+    np.testing.assert_allclose(sp, seq, atol=2e-5)
+
+
 def test_batched_windows_match_separate(pipeline):
     """batch_windows=2 (two windows packed into one program with the FGATS
     blend masked at the boundary) equals the window-by-window loop — with

@@ -79,6 +79,12 @@ class FusionConfig:
     # — used by the recon-free sampler, which preserves the 3-chunk math for
     # chunks 0/1 while dropping the dead third chunk.
     two_chunk_replace: bool = True
+    # trailing batch rows excluded from fusion entirely (neither donor nor
+    # receiver): the pipelined pack scan folds the NEXT pack's inversion
+    # sub-batch (hooks OFF during inversion, ddim_w_inv.py:389) into the same
+    # UNet eval as the current pack's 2-chunk sampling batch; those rows must
+    # pass through attn1 exactly as a hook-free forward would.
+    bystander: int = 0
 
     @property
     def active(self) -> bool:
@@ -113,6 +119,21 @@ def fuse_qkv(
     """
     if not cfg.active:
         return q, k, v, None
+    if cfg.bystander:
+        # split off the fusion-neutral trailing rows (the pipelined pack's
+        # inversion sub-batch), fuse the rest, and reattach untouched
+        by = cfg.bystander
+        inner = dataclasses.replace(cfg, bystander=0)
+        q0, k0, v0, carry = fuse_qkv(
+            q[:-by], k[:-by], v[:-by], inner, chunks=chunks, flow=flow,
+            prev_qk=prev_qk, flow0=flow0, pair_mask=pair_mask,
+        )
+        return (
+            jnp.concatenate([q0, q[-by:].astype(q0.dtype)], axis=0),
+            jnp.concatenate([k0, k[-by:].astype(k0.dtype)], axis=0),
+            jnp.concatenate([v0, v[-by:].astype(v0.dtype)], axis=0),
+            carry,
+        )
     carry = None
     b, n, d = q.shape
     f = b // chunks

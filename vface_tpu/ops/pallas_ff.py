@@ -129,6 +129,15 @@ def geglu_ff(x, wp, bp, wo, bo, *, interpret: bool = False):
     """
     if not (interpret or _on_tpu()):
         return _ref_impl(x, wp, bp, wo, bo)
+    if x.shape[-1] > 768 and not interpret:
+        # Wide sites (ds4: C=1280 → 2·inner=10240) put ~39 MB of weight
+        # blocks + a (tm, 2·inner) fp32 accumulator on the kernel's scoped
+        # VMEM stack — over the 16 MB scoped limit inside the window program
+        # (v5e Mosaic stack OOM at in_2_0_attn, b=24). Those sites also have
+        # 16x fewer tokens than ds1, so the HBM round-trip the kernel saves
+        # is negligible there; the measured win (19 → ~7 ms of the ds1 FF
+        # stack, scripts/bench_ff_micro.py) is entirely at C ≤ 640.
+        return _ref_impl(x, wp, bp, wo, bo)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     out = _geglu_ff(x2, wp, bp, wo, bo, interpret)

@@ -80,6 +80,26 @@ class SwapOptions:
     # token count at which FGATS flow warping applies (4096 = the 64x64
     # attention grid at 512px, pnp_utils.py:185-234; tiny tests lower it)
     flow_tokens: int = 4096
+    # software-pipeline consecutive packs: pack i+1's DDIM inversion rides the
+    # same UNet evals as pack i's 2-chunk sampling (fusion-neutral bystander
+    # rows — see samplers.vface.vface_sample_pipelined). Output-exact; pays
+    # the per-eval fixed cost once per step instead of twice. Requires the
+    # recon-free exact operating point (keep_recon_chunk=False,
+    # encoder_interval=1, no cross_window_carry) and a fresh (non-resumed)
+    # run; the driver falls back to the sequential loop otherwise.
+    # MEASURED NEUTRAL on v5e (scripts/bench_batch_scaling.py: the b=3F eval
+    # costs slightly MORE than the 2F + F evals it replaces — the per-eval
+    # batch landscape is jagged, with b=24 the per-row sweet spot), so it is
+    # off by default; kept for hardware where the landscape differs.
+    pipeline_packs: bool = False
+    # invert this many packs per inversion program. The measured v5e per-row
+    # eval costs (scripts/bench_batch_scaling.py: b=12 8.00, b=24 7.08
+    # ms/row) make the 1-chunk inversion the worst-batched stage at
+    # batch_windows=2; pairing two packs' inversions into one b=2F scan runs
+    # every UNet eval at the b=24 sweet spot (sampling is already there).
+    # Output-exact (batch elements are independent; hooks are off during
+    # inversion); same eligibility/fallback rules as pipeline_packs.
+    invert_packs: int = 1
 
 
 class VideoSwapPipeline:
@@ -123,6 +143,21 @@ class VideoSwapPipeline:
         # ride as a jitted argument (replicated on a mesh) so the program is
         # cached once, not re-traced per call
         self._windows_jit = jax.jit(self._swap_windows_batched_impl)
+        # pipelined-pack programs (opts.pipeline_packs): prologue inversion,
+        # steady-state fused sampling+next-inversion, and the final
+        # sampling-only pack
+        self._invert_pack_jit = jax.jit(self._invert_pack_impl)
+        self._pipe_step_jit = jax.jit(
+            self._pipelined_step_impl, static_argnames=("has_flow",)
+        )
+        self._final_pack_jit = jax.jit(
+            self._final_pack_impl, static_argnames=("has_flow",)
+        )
+        # super-pack program (opts.invert_packs == 2): two packs' inversions
+        # in one b=2F scan, then two b=2F sampling scans (2 chunks x F each)
+        self._superpack_jit = jax.jit(
+            self._superpack_impl, static_argnames=("has_flow",)
+        )
         # aux stages are jitted too: on the tunneled backend every eager op is
         # a round trip, and the unjitted CLIP/RAFT aux paths measured 14.4 s /
         # 3.5 s per window of pure dispatch overhead (scripts/bench_e2e_phases)
@@ -428,6 +463,247 @@ class VideoSwapPipeline:
         pasted = paste_back(bg, swapped, inv_coeffs_w, 1.0 - keep_mask)
         return (pasted, res[1]) if return_fgats else pasted
 
+    # ---------------------------------------------------- pipelined packs
+    def _encode_pack(self, params, crops, keep_mask):
+        """Shared encode stage: (z_tar, z_inpaint, mask_lat) for one pack."""
+        f = crops.shape[0]
+        hl = self.model.cfg.latent_size
+        z_inpaint = self.model.encode_first_stage(params, crops * keep_mask)
+        mask_lat = jax.image.resize(keep_mask, (f, hl, hl, 1), method="bilinear")
+        z_tar = self.model.encode_first_stage(params, crops)
+        return z_tar, z_inpaint, mask_lat
+
+    def _invert_pack_impl(self, params, crops, keep_mask, inverse_cond):
+        """Prologue: encode + inversion-only scan → (start_code, z_inpaint,
+        mask_lat) for the first pack (recon-free: only the t=961 start code
+        is consumed, so skip_last=1 — see _swap_window_impl)."""
+        z_tar, z_inpaint, mask_lat = self._encode_pack(params, crops, keep_mask)
+        x_T, _ = ddim_invert(
+            self.model, params, z_tar, inverse_cond, z_inpaint, mask_lat,
+            num_steps=self.opts.inversion_steps, keep=1, skip_last=1,
+        )
+        return x_T, z_inpaint, mask_lat
+
+    def _pipelined_step_impl(
+        self,
+        params,
+        frames01_i,     # (F,H,W,3) pack i original frames [0,1]
+        inv_coeffs_i,   # (F,8)
+        keep_i,         # (F,S,S,1)
+        start_i,        # (F,hl,hl,4) pack i start code (from inversion)
+        z_inpaint_i,
+        mask_lat_i,
+        cond_i,
+        uncond_i,
+        flow_i,
+        pair_mask_i,
+        crops_next,     # (G,S,S,3) pack i+1 crops [-1,1]
+        keep_next,
+        inv_cond_next,
+        has_flow: bool = False,
+    ):
+        """Steady state: sample pack i (2-chunk CFG + FSAI/FGATS) while pack
+        i+1's inversion rides the same UNet evals as bystander rows; then
+        decode + background trick + paste-back for pack i. Output-exact vs
+        the sequential loop (test_pipelined_pack_bit_exact)."""
+        from vface_tpu.samplers.vface import vface_sample_pipelined
+
+        opts = self.opts
+        z_tar_n, z_inp_n, ml_n = self._encode_pack(params, crops_next, keep_next)
+        flow_q = None
+        if has_flow:
+            hq = self.model.cfg.latent_size
+            flow_q = resize_flow(flow_i, hq, hq)
+        z0, _traj, start_next = vface_sample_pipelined(
+            self.model, params, start_i, cond_i, uncond_i,
+            z_inpaint_i, mask_lat_i, self.injection,
+            next_z0=z_tar_n, next_cond=inv_cond_next,
+            next_inpaint=z_inp_n, next_mask=ml_n,
+            inversion_steps=opts.inversion_steps, skip_last=1,
+            flow=flow_q, num_steps=opts.ddim_steps,
+            cfg_scale=opts.cfg_scale, eta=opts.eta,
+            flow_pair_mask=pair_mask_i,
+        )
+        out01 = jnp.clip((self.model.decode_first_stage(params, z0) + 1.0) * 0.5, 0.0, 1.0)
+        bg = self.decode_with_background(params, frames01_i * 2.0 - 1.0)
+        pasted = paste_back(bg, out01, inv_coeffs_i, 1.0 - keep_i)
+        return pasted, start_next, z_inp_n, ml_n
+
+    def _final_pack_impl(
+        self,
+        params,
+        frames01_i,
+        inv_coeffs_i,
+        keep_i,
+        start_i,
+        z_inpaint_i,
+        mask_lat_i,
+        cond_i,
+        uncond_i,
+        flow_i,
+        pair_mask_i,
+        has_flow: bool = False,
+    ):
+        """Epilogue: sampling-only for the last pack (no next inversion)."""
+        opts = self.opts
+        flow_q = None
+        if has_flow:
+            hq = self.model.cfg.latent_size
+            flow_q = resize_flow(flow_i, hq, hq)
+        dummy_inv = jnp.zeros((1,) + start_i.shape)
+        z0, _ = vface_sample(
+            self.model, params, start_i, cond_i, uncond_i, cond_i,
+            dummy_inv, z_inpaint_i, mask_lat_i, self.injection, flow=flow_q,
+            num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale, eta=opts.eta,
+            drop_recon_chunk=True, flow_pair_mask=pair_mask_i,
+        )
+        out01 = jnp.clip((self.model.decode_first_stage(params, z0) + 1.0) * 0.5, 0.0, 1.0)
+        bg = self.decode_with_background(params, frames01_i * 2.0 - 1.0)
+        return paste_back(bg, out01, inv_coeffs_i, 1.0 - keep_i)
+
+    def _superpack_impl(
+        self,
+        params,
+        frames01_2,    # (2F,H,W,3) two packs' original frames [0,1]
+        inv_coeffs_2,  # (2F,8)
+        crops_2,       # (2F,S,S,3) crops [-1,1]
+        keep_2,        # (2F,S,S,1)
+        cond_2,
+        uncond_2,
+        inv_cond_2,
+        flow_2,        # (2F-1,S,S,2) flow over the concatenated sequence
+        pair_mask_A,   # (F-1,) or None — within-pack FGATS boundary masks
+        pair_mask_B,
+        has_flow: bool = False,
+    ):
+        """Two packs per program: ONE b=2F inversion scan (the v5e per-row
+        batch sweet spot — the 1-chunk inversion at b=F is the worst-batched
+        stage otherwise), then each pack's 2-chunk sampling at its usual
+        b=2F, with the VAE encode/decode/background/paste also at 2F.
+        Output-exact vs two sequential single-pack programs
+        (test_superpacks_match_sequential): batch elements are independent in
+        every stage that is batched wider, and the packs' FGATS flows are
+        sliced apart (the cross-pack boundary pair is simply never used)."""
+        opts = self.opts
+        model = self.model
+        f2 = crops_2.shape[0]
+        f = f2 // 2
+        z_tar, z_inpaint, mask_lat = self._encode_pack(params, crops_2, keep_2)
+        x_T, _ = ddim_invert(
+            model, params, z_tar, inv_cond_2, z_inpaint, mask_lat,
+            num_steps=opts.inversion_steps, keep=1, skip_last=1,
+            encoder_interval=opts.encoder_interval,
+        )
+        hq = model.cfg.latent_size
+        dummy_inv = jnp.zeros((1, f) + x_T.shape[1:])
+
+        def sample_half(sl, flow_sl, pm):
+            flow_q = resize_flow(flow_2[flow_sl], hq, hq) if has_flow else None
+            z0, _ = vface_sample(
+                model, params, x_T[sl], cond_2[sl], uncond_2[sl], cond_2[sl],
+                dummy_inv, z_inpaint[sl], mask_lat[sl], self.injection,
+                flow=flow_q, num_steps=opts.ddim_steps,
+                cfg_scale=opts.cfg_scale, eta=opts.eta,
+                encoder_interval=opts.encoder_interval,
+                drop_recon_chunk=True, flow_pair_mask=pm,
+            )
+            return z0
+
+        z0_a = sample_half(slice(0, f), slice(0, f - 1), pair_mask_A)
+        z0_b = sample_half(slice(f, f2), slice(f, f2 - 1), pair_mask_B)
+        z0 = jnp.concatenate([z0_a, z0_b], axis=0)
+        out01 = jnp.clip((model.decode_first_stage(params, z0) + 1.0) * 0.5, 0.0, 1.0)
+        bg = self.decode_with_background(params, frames01_2 * 2.0 - 1.0)
+        return paste_back(bg, out01, inv_coeffs_2, 1.0 - keep_2)
+
+    def _swap_frames_superpacked(
+        self, params, aux_params, frames01, crops01, inv_coeffs, keep_mask,
+        src_clip, src_crop01, src_lm, src_keep, manifest, window_sink,
+    ) -> np.ndarray:
+        """Host loop for opts.invert_packs == 2: packs are processed in
+        pairs through one super-pack program; an odd trailing pack and the
+        final short window use the standard single-window program."""
+        opts = self.opts
+        n = int(frames01.shape[0])
+        w = opts.window * max(1, opts.batch_windows)
+        n_full = n // w
+
+        def within_pack_mask():
+            if opts.batch_windows <= 1:
+                return None
+            m = np.ones((w - 1,), np.float32)
+            for b0 in range(opts.window, w, opts.window):
+                m[b0 - 1] = 0.0
+            return jnp.asarray(m) if (m == 0).any() else None
+
+        pm = within_pack_mask()
+        out_frames = []
+        pending = None
+
+        def _flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            ps0, parr = pending
+            pending = None
+            arr = np.asarray(parr)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(ps0, arr)
+                manifest.mark_done(ps0, arr.shape[0], paths)
+            out_frames.append(arr)
+
+        def emit(s0, pasted):
+            nonlocal pending
+            if hasattr(pasted, "copy_to_host_async"):
+                pasted.copy_to_host_async()
+            _flush_pending()
+            if manifest is not None and window_sink is not None:
+                pending = (s0, pasted)
+            else:
+                out_frames.append(pasted)
+
+        def conds_for(sl):
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            return c, km, cond, uncond, inv_c, c_src
+
+        i = 0
+        while i + 1 < n_full:
+            s0 = i * w
+            sl = slice(s0, s0 + 2 * w)
+            c, km, cond, uncond, inv_c, _ = conds_for(sl)
+            flow = self.compute_flow(aux_params, crops01[sl])
+            pasted = self._superpack_jit(
+                params, frames01[sl], inv_coeffs[sl], c, km,
+                cond, uncond, inv_c, flow, pm, pm, has_flow=True,
+            )
+            emit(s0, pasted)
+            i += 2
+        # odd trailing pack and/or short remainder via the standard program
+        for s0 in range(i * w, n, w):
+            sl = slice(s0, min(s0 + w, n))
+            c, km, cond, uncond, inv_c, c_src = conds_for(sl)
+            nf = sl.stop - s0
+            flow = self.compute_flow(aux_params, crops01[sl]) if nf > 1 else None
+            pair_mask = None
+            if flow is not None and opts.batch_windows > 1:
+                m = np.ones((nf - 1,), np.float32)
+                for b0 in range(opts.window, nf, opts.window):
+                    m[b0 - 1] = 0.0
+                if (m == 0).any():
+                    pair_mask = jnp.asarray(m)
+            pasted = self.swap_window_pasted(
+                params, frames01[sl], inv_coeffs[sl], c, km,
+                cond, uncond, inv_c, c_src,
+                src_crop01 * 2 - 1, src_keep, flow, pair_mask=pair_mask,
+            )
+            emit(s0, pasted)
+        _flush_pending()
+        return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
+
     def _swap_windows_batched_impl(self, params, *wargs):
         return jax.vmap(
             lambda c, k, co, un, ic, cs, sc, sk, fl: self._swap_window_impl(
@@ -562,6 +838,110 @@ class VideoSwapPipeline:
             finish(s0, swapped, rem)
         return out
 
+    def _swap_frames_pipelined(
+        self, params, aux_params, frames01, crops01, inv_coeffs, keep_mask,
+        src_clip, src_crop01, src_lm, src_keep, manifest, window_sink,
+    ) -> np.ndarray:
+        """Pipelined-pack host loop (opts.pipeline_packs — see SwapOptions).
+
+        Program schedule per video: 1× prologue inversion, (n_packs−1)× the
+        fused steady-state step (sampling of pack i + inversion of pack i+1
+        in one scan), 1× sampling-only epilogue. Outputs are exactly the
+        sequential loop's (test_pipelined_pack_bit_exact)."""
+        opts = self.opts
+        n = int(frames01.shape[0])
+        w = opts.window * max(1, opts.batch_windows)
+        n_full = n // w
+        no_flow = jnp.zeros((0,) + crops01.shape[1:3] + (2,))
+
+        def prep(i):
+            s0 = i * w
+            sl = slice(s0, s0 + w)
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl]) if w > 1 else None
+            pair_mask = None
+            if flow is not None and opts.batch_windows > 1:
+                m = np.ones((w - 1,), np.float32)
+                for b0 in range(opts.window, w, opts.window):
+                    m[b0 - 1] = 0.0
+                if (m == 0).any():
+                    pair_mask = jnp.asarray(m)
+            cond, uncond, inv_c, _ = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            return dict(s0=s0, c=c, km=km, flow=flow, pm=pair_mask,
+                        cond=cond, uncond=uncond, inv_c=inv_c)
+
+        out_frames = []
+        pending = None
+
+        def _flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            ps0, parr = pending
+            pending = None
+            arr = np.asarray(parr)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(ps0, arr)
+                manifest.mark_done(ps0, arr.shape[0], paths)
+            out_frames.append(arr)
+
+        def emit(s0, pasted):
+            nonlocal pending
+            if hasattr(pasted, "copy_to_host_async"):
+                pasted.copy_to_host_async()
+            _flush_pending()
+            if manifest is not None and window_sink is not None:
+                pending = (s0, pasted)
+            else:
+                out_frames.append(pasted)
+
+        cur = prep(0)
+        start, zi, ml = self._invert_pack_jit(params, cur["c"], cur["km"], cur["inv_c"])
+        for i in range(n_full):
+            s0 = cur["s0"]
+            sl = slice(s0, s0 + w)
+            fl = cur["flow"] if cur["flow"] is not None else no_flow
+            if i + 1 < n_full:
+                nxt = prep(i + 1)
+                pasted, start, zi, ml = self._pipe_step_jit(
+                    params, frames01[sl], inv_coeffs[sl], cur["km"],
+                    start, zi, ml, cur["cond"], cur["uncond"], fl, cur["pm"],
+                    nxt["c"], nxt["km"], nxt["inv_c"],
+                    has_flow=cur["flow"] is not None,
+                )
+                emit(s0, pasted)
+                cur = nxt
+            else:
+                pasted = self._final_pack_jit(
+                    params, frames01[sl], inv_coeffs[sl], cur["km"],
+                    start, zi, ml, cur["cond"], cur["uncond"], fl, cur["pm"],
+                    has_flow=cur["flow"] is not None,
+                )
+                emit(s0, pasted)
+
+        rem = n - n_full * w
+        if rem:
+            s0 = n_full * w
+            sl = slice(s0, n)
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl]) if rem > 1 else None
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            # the remainder window runs the standard single-window program
+            pasted = self.swap_window_pasted(
+                params, frames01[sl], inv_coeffs[sl], c, km,
+                cond, uncond, inv_c, c_src,
+                src_crop01 * 2 - 1, src_keep, flow,
+            )
+            emit(s0, pasted)
+        _flush_pending()
+        return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
+
     def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
         """The background-consistency trick (:611-623): encode+decode the
         original frame so pasted backgrounds share the VAE's color response."""
@@ -606,8 +986,43 @@ class VideoSwapPipeline:
         src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
         src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
 
-        out_frames = []
         w = opts.window * max(1, opts.batch_windows)
+        # pipelined-pack fast path: output-exact, recon-free operating point
+        # only; resumed runs and short clips use the sequential loop
+        can_pipeline = (
+            opts.pipeline_packs
+            and not opts.cross_window_carry
+            and not opts.keep_recon_chunk
+            and opts.encoder_interval == 1
+            and opts.inversion_steps <= opts.ddim_steps + 1
+            and n >= w + 1
+            and (manifest is None or not any(
+                manifest.is_done(s0) for s0 in range(0, n, w)
+            ))
+        )
+        fresh = manifest is None or not any(
+            manifest.is_done(s0) for s0 in range(0, n, w)
+        )
+        can_superpack = (
+            opts.invert_packs == 2
+            and not opts.cross_window_carry
+            and not opts.keep_recon_chunk
+            and opts.inversion_steps >= 2
+            and n >= 2 * w
+            and fresh
+        )
+        if can_superpack:
+            return self._swap_frames_superpacked(
+                params, aux_params, frames01, crops01, inv_coeffs, keep_mask,
+                src_clip, src_crop01, src_lm, src_keep, manifest, window_sink,
+            )
+        if can_pipeline:
+            return self._swap_frames_pipelined(
+                params, aux_params, frames01, crops01, inv_coeffs, keep_mask,
+                src_clip, src_crop01, src_lm, src_keep, manifest, window_sink,
+            )
+
+        out_frames = []
         carry = None  # cross-window FGATS state (opts.cross_window_carry)
         pending = None  # (s0, device array) awaiting fetch+sink (resumable mode)
 

@@ -29,10 +29,16 @@ def _tables(model: VFaceModel, num_steps: int, eta: float) -> DDIMSchedule:
 
 
 def ddim_step(x, e_t, a_t, a_prev, sqrt_1m_at, sigma, noise):
-    """One DDIM update in float32 (reference ddim.py:324-377 math)."""
+    """One DDIM update in float32 (reference ddim.py:324-377 math).
+
+    ``noise=None`` skips the stochastic term — bit-exact at eta=0, where the
+    sigma table is exactly zero and ``0 * noise == 0`` for any finite noise;
+    skipping also removes the per-step threefry RNG from the scan body."""
     pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
     dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * e_t
-    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+    if noise is not None:
+        x_prev = x_prev + sigma * noise
     return x_prev, pred_x0
 
 
@@ -78,8 +84,11 @@ def ddim_sample(
         eps = model.apply_model(params, x_in, t_in, c_in)
         e_uncond, e_cond = jnp.split(eps, 2, axis=0)
         e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        if eta == 0.0:
+            noise = None
+        else:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
         x_prev, pred_x0 = ddim_step(x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise)
         return (x_prev, key), pred_x0
 

@@ -94,7 +94,7 @@ def vface_sample(
     window's last frame; frame 0's FGATS blend then chains across the window
     boundary instead of passing through unchanged.
     """
-    sch = DDIMSchedule.create(model.schedule, num_steps)
+    sch = DDIMSchedule.create(model.schedule, num_steps, eta=eta)
     num_steps = sch.num_steps  # table may exceed the request (non-divisor S)
     f = x_T.shape[0]
     ts = jnp.asarray(sch.timesteps)
@@ -199,8 +199,11 @@ def vface_sample(
         else:
             e_uncond, e_cond, _e_recon = jnp.split(eps, 3, axis=0)
         e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
-        key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, x.shape, jnp.float32)
+        if eta == 0.0:
+            noise = None
+        else:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
         x_prev, pred_x0 = ddim_step(
             x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise
         )
@@ -220,3 +223,138 @@ def vface_sample(
     if return_fgats_carry:
         return z0, traj, carry_stack
     return z0, traj
+
+
+def vface_sample_pipelined(
+    model: VFaceModel,
+    params,
+    x_T: jax.Array,
+    cond: jax.Array,
+    uncond: jax.Array,
+    inpaint_latent: jax.Array,
+    mask_latent: jax.Array,
+    injection: InjectionSpec,
+    *,
+    next_z0: jax.Array,
+    next_cond: jax.Array,
+    next_inpaint: jax.Array,
+    next_mask: jax.Array,
+    inversion_steps: int = 50,
+    skip_last: int = 1,
+    flow: Optional[jax.Array] = None,
+    num_steps: int = 50,
+    cfg_scale: float = 3.0,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    flow_pair_mask: Optional[jax.Array] = None,
+):
+    """Recon-free sampling of pack i fused with the DDIM inversion of pack i+1.
+
+    Software pipelining for single-chip throughput: the sampling eval
+    (2-chunk CFG, b=2F) and the next pack's inversion eval (1-chunk, hooks
+    OFF — ddim_w_inv.py:389) are *independent* UNet forwards that would
+    otherwise run as 2×``num_steps`` separate device programs per pack; here
+    each scan step runs ONE b=(2F+G) eval with the inversion rows marked
+    ``bystander`` in the fusion config (they neither donate nor receive
+    FSAI/FGATS — bit-identical to a hook-free forward, pinned by
+    test_pipelined_pack_bit_exact). The measured per-eval fixed cost
+    (~40 ms at 512² on v5e) is paid once instead of twice per step.
+
+    Semantics are exactly `vface_sample(drop_recon_chunk=True)` for pack i
+    plus `ddim_invert(..., skip_last=skip_last)` for pack i+1:
+    * sampling descends the DDIM timesteps (index = S-1-idx);
+    * inversion ascends with the reference's custom alpha indexing
+      (ddim_w_inv.py:442-449), frozen after its ``n_inv`` steps (the scan is
+      as long as the sampling loop; n_inv = S_inv - skip_last ≤ S required);
+    * the returned ``next_x_T`` equals ddim_invert's t=961 start code
+      (VFace_inference_batch.py:541).
+
+    Returns (z0, pred_x0 trajectory, next_x_T).
+    """
+    sch = DDIMSchedule.create(model.schedule, num_steps, eta=eta)
+    num_steps = sch.num_steps
+    sch_i = DDIMSchedule.create(model.schedule, inversion_steps)
+    n_inv = sch_i.num_steps - skip_last
+    if n_inv > num_steps:
+        raise ValueError(
+            f"pipelined pack needs inversion steps ({n_inv}) <= sampling steps "
+            f"({num_steps}); use the sequential path instead"
+        )
+    f = x_T.shape[0]
+    g = next_z0.shape[0]
+    ts = jnp.asarray(sch.timesteps)
+    a = jnp.asarray(sch.alphas)
+    a_prev = jnp.asarray(sch.alphas_prev)
+    s1m = jnp.asarray(sch.sqrt_one_minus_alphas)
+    sig = jnp.asarray(sch.sigmas)
+    ts_i = jnp.asarray(sch_i.timesteps)
+    ia_next = jnp.asarray(sch_i.inv_alpha_next)
+    ia_cur = jnp.asarray(sch_i.inv_alpha_cur)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    extra = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+    extra_i = jnp.concatenate([next_inpaint, next_mask], axis=-1)
+
+    if injection.conv_inject:
+        # ResBlock conv injection splits the batch by inj.chunks alone and
+        # has no bystander concept (it is also OFF in the active schedule,
+        # ddim_w_inv.py:300-308) — use the sequential path for it.
+        raise ValueError("pipelined packs do not support conv_inject")
+
+    def mark(fc):
+        return dataclasses.replace(fc, two_chunk_replace=False, bystander=g)
+
+    injection = dataclasses.replace(
+        injection,
+        input_blocks=mark(injection.input_blocks),
+        middle=mark(injection.middle),
+        output_blocks=mark(injection.output_blocks),
+        chunks=2,
+    )
+    c_in = jnp.concatenate([uncond, cond, next_cond], axis=0)
+
+    use_pack = flow_pair_mask is not None
+
+    def step_flow():
+        if not use_pack:
+            return flow
+        from vface_tpu.ops.attention import FlowPack
+
+        return FlowPack(flow=flow, pair_mask=flow_pair_mask)
+
+    def body(carry, idx):
+        x, key, xi = carry
+        index = num_steps - 1 - idx
+        t_s = jnp.full((f,), ts[index], dtype=jnp.int32)
+        ii = jnp.minimum(idx, n_inv - 1)
+        t_i = jnp.full((g,), ts_i[ii], dtype=jnp.int32)
+        x9 = jnp.concatenate([x, extra], axis=-1)
+        xi9 = jnp.concatenate([xi, extra_i], axis=-1)
+        x_in = jnp.concatenate([x9, x9, xi9], axis=0)
+        t_in = jnp.concatenate([t_s, t_s, t_i], axis=0)
+        eps = model.apply_model(
+            params, x_in, t_in, c_in, flow=step_flow(), injection=injection
+        )
+        e_uncond, e_cond, e_inv = eps[:f], eps[f : 2 * f], eps[2 * f :]
+        e_t = e_uncond + cfg_scale * (e_cond - e_uncond)
+        if eta == 0.0:
+            noise = None
+        else:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
+        x_prev, pred_x0 = ddim_step(
+            x, e_t, a[index], a_prev[index], s1m[index], sig[index], noise
+        )
+        an, ac = ia_next[ii], ia_cur[ii]
+        xi_next = (xi - jnp.sqrt(1.0 - ac) * e_inv) * jnp.sqrt(an / ac) + jnp.sqrt(
+            1.0 - an
+        ) * e_inv
+        xi = jnp.where(idx < n_inv, xi_next, xi)
+        return (x_prev, key, xi), pred_x0
+
+    (z0, _, next_x_T), traj = jax.lax.scan(
+        body,
+        (x_T.astype(jnp.float32), rng, next_z0.astype(jnp.float32)),
+        jnp.arange(num_steps),
+    )
+    return z0, traj, next_x_T
