@@ -91,7 +91,7 @@ def main():
     pm = jnp.asarray(m)
 
     def run():
-        flow = pipe.compute_flow(aux, crops01)
+        flow = pipe.compute_flow_superpack(aux, crops01)
         out = pipe._superpack_jit(
             params, frames01, inv_coeffs, crops01 * 2 - 1, keep,
             cond, uncond, inv_c, flow, pm, pm, has_flow=True,

@@ -114,6 +114,38 @@ def main():
         except Exception as e:
             results["jax_fa"] = f"FAIL {type(e).__name__}: {str(e)[:80]}"
         try:
+            from jax.experimental.pallas.ops.tpu.splash_attention import (
+                splash_attention_kernel as sk,
+                splash_attention_mask as sm,
+            )
+
+            mask = sm.MultiHeadMask([sm.FullMask((n, n)) for _ in range(h)])
+            for bq, bkv in ((512, 1024), (1024, 1024), (2048, 2048)):
+                if bq > n or bkv > n:
+                    continue
+                bs = sk.BlockSizes(
+                    block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                )
+                kern = sk.make_splash_mha_single_device(mask=mask, block_sizes=bs)
+
+                def run_splash(q, k, v, kern=kern):
+                    qh = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3) * (dh ** -0.5)
+                    kh = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+                    vh = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+                    o = jax.vmap(kern)(qh, kh, vh)
+                    return o.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+                try:
+                    results[f"splash bq={bq} bkv={bkv}"] = timeit(
+                        jax.jit(run_splash), q, k, v
+                    )
+                except Exception as e:
+                    results[f"splash bq={bq} bkv={bkv}"] = (
+                        f"FAIL {type(e).__name__}: {str(e)[:60]}"
+                    )
+        except Exception as e:
+            results["splash"] = f"FAIL {type(e).__name__}: {str(e)[:80]}"
+        try:
             def run_dpa(q, k, v):
                 qh = q.reshape(b, n, h, dh)
                 kh = k.reshape(b, n, h, dh)

@@ -234,6 +234,19 @@ class VideoSwapPipeline:
     def compute_flow(self, aux_params, crops01: jax.Array) -> jax.Array:
         return self._flow_jit(aux_params, crops01)
 
+    def compute_flow_superpack(self, aux_params, crops01: jax.Array) -> jax.Array:
+        """Flow for the 2-pack super-pack program, computed per pack.
+
+        The cross-pack boundary pair is never consumed (each sampling half
+        slices only its own F-1 pairs), so running the standard single-pack
+        flow program twice halves RAFT's peak HBM, reuses the already-compiled
+        program, and skips the dead pair — the boundary slot is zero-filled to
+        keep the (2F-1, S, S, 2) signature."""
+        f = crops01.shape[0] // 2
+        fa = self.compute_flow(aux_params, crops01[:f])
+        fb = self.compute_flow(aux_params, crops01[f:])
+        return jnp.concatenate([fa, jnp.zeros_like(fa[:1]), fb], axis=0)
+
     def _compute_flow_impl(self, aux_params, crops01: jax.Array) -> jax.Array:
         """(F, S, S, 3) → (F-1, S, S, 2): RAFT flow between consecutive frames
         (temporal_flow.py:164-188), all pairs in one batched forward.
@@ -588,7 +601,22 @@ class VideoSwapPipeline:
         model = self.model
         f2 = crops_2.shape[0]
         f = f2 // 2
-        z_tar, z_inpaint, mask_lat = self._encode_pack(params, crops_2, keep_2)
+
+        def _per_half(fn, *arrays):
+            """Apply ``fn`` to each pack half sequentially (a length-2
+            lax.map): the 512² VAE stages at b=2F are the program's peak
+            HBM tensors and OOM a single v5e chip — running them at b=F
+            (the proven single-pack width) halves that peak while the
+            b=2F inversion scan (the super-pack's point) is untouched."""
+            xs = tuple(a.reshape((2, f) + a.shape[1:]) for a in arrays)
+            ys = jax.lax.map(lambda t: fn(*t), xs)
+            return jax.tree.map(
+                lambda y: y.reshape((f2,) + y.shape[2:]), ys
+            )
+
+        z_tar, z_inpaint, mask_lat = _per_half(
+            lambda c, k: self._encode_pack(params, c, k), crops_2, keep_2
+        )
         x_T, _ = ddim_invert(
             model, params, z_tar, inv_cond_2, z_inpaint, mask_lat,
             num_steps=opts.inversion_steps, keep=1, skip_last=1,
@@ -612,8 +640,16 @@ class VideoSwapPipeline:
         z0_a = sample_half(slice(0, f), slice(0, f - 1), pair_mask_A)
         z0_b = sample_half(slice(f, f2), slice(f, f2 - 1), pair_mask_B)
         z0 = jnp.concatenate([z0_a, z0_b], axis=0)
-        out01 = jnp.clip((model.decode_first_stage(params, z0) + 1.0) * 0.5, 0.0, 1.0)
-        bg = self.decode_with_background(params, frames01_2 * 2.0 - 1.0)
+        out01 = _per_half(
+            lambda z: jnp.clip(
+                (model.decode_first_stage(params, z) + 1.0) * 0.5, 0.0, 1.0
+            ),
+            z0,
+        )
+        bg = _per_half(
+            lambda fr: self.decode_with_background(params, fr * 2.0 - 1.0),
+            frames01_2,
+        )
         return paste_back(bg, out01, inv_coeffs_2, 1.0 - keep_2)
 
     def _swap_frames_superpacked(
@@ -675,7 +711,7 @@ class VideoSwapPipeline:
             s0 = i * w
             sl = slice(s0, s0 + 2 * w)
             c, km, cond, uncond, inv_c, _ = conds_for(sl)
-            flow = self.compute_flow(aux_params, crops01[sl])
+            flow = self.compute_flow_superpack(aux_params, crops01[sl])
             pasted = self._superpack_jit(
                 params, frames01[sl], inv_coeffs[sl], c, km,
                 cond, uncond, inv_c, flow, pm, pm, has_flow=True,
