@@ -67,44 +67,12 @@ def stats_hier(x):
     return s1, s2
 
 
-def _gn_stats_kernel(x_ref, s1_ref, s2_ref):
-    h = pl.program_id(1)
-    x = x_ref[...].astype(jnp.float32)  # (1, Hc, S, C)
-    p1 = jnp.sum(x, axis=(0, 1, 2))
-    p2 = jnp.sum(x * x, axis=(0, 1, 2))
-
-    @pl.when(h == 0)
-    def _():
-        s1_ref[...] = p1[None]
-        s2_ref[...] = p2[None]
-
-    @pl.when(h != 0)
-    def _():
-        s1_ref[...] += p1[None]
-        s2_ref[...] += p2[None]
+from vface_tpu.models.layers import _gn_sums_pallas as _prod_gn_sums
 
 
-try:
-    HC = 64  # rows per grid step: 64*512*128*2B = 8 MB block
-
-    def stats_mosaic(x):
-        b, h, w, c = x.shape
-        grid = (b, h // HC)
-        return pl.pallas_call(
-            _gn_stats_kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec((1, HC, w, c), lambda i, j: (i, j, 0, 0))],
-            out_specs=[
-                pl.BlockSpec((1, c), lambda i, j: (i, 0)),
-                pl.BlockSpec((1, c), lambda i, j: (i, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, c), jnp.float32),
-                jax.ShapeDtypeStruct((b, c), jnp.float32),
-            ],
-        )(x)
-except Exception:  # pragma: no cover
-    stats_mosaic = None
+def stats_mosaic(x):
+    """The PRODUCTION kernel (vface_tpu.models.layers._gn_sums_pallas)."""
+    return _prod_gn_sums(x)
 
 
 def apply_gn(x, s1, s2, scale, bias):

@@ -45,6 +45,11 @@ def main():
         + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
         + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
         + " --xla_cpu_collective_timeout_seconds=7200"
+        # the flagship-scale train-step module OOM-killed the host at 123 GB
+        # RSS during LLVM codegen (this is compile-time memory, not buffers);
+        # skip the expensive LLVM passes — this is a memory-plan proof, not a
+        # CPU-speed measurement
+        + " --xla_llvm_disable_expensive_passes=true"
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
 

@@ -261,6 +261,24 @@ def test_superpacks_match_sequential(pipeline, fgats_clip_baseline):
     np.testing.assert_allclose(sp, seq, atol=2e-5)
 
 
+def test_superpack_merged_sampling_matches_sequential(pipeline, fgats_clip_baseline):
+    """merge_sampling=True (both packs' 2-chunk sampling scans fused into one
+    b=4F eval, FGATS pair-masked at the pack boundary) is output-exact vs the
+    sequential loop."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    opts, frames, source, seq = fgats_clip_baseline
+    pipe_m = VideoSwapPipeline(
+        pipe.model, dc.replace(opts, invert_packs=2, merge_sampling=True)
+    )
+    pipe_m.raft = pipe.raft
+    merged = pipe_m.swap_video_frames(params, aux_params, frames, source)
+    np.testing.assert_allclose(merged, seq, atol=2e-5)
+
+
 def test_batched_windows_match_separate(pipeline):
     """batch_windows=2 (two windows packed into one program with the FGATS
     blend masked at the boundary) equals the window-by-window loop — with

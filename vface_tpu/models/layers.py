@@ -18,6 +18,8 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Dtype = Any
 
@@ -38,6 +40,102 @@ class _GNParams(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return scale, bias
+
+
+def _gn_sums_kernel(x_ref, s1_ref, s2_ref):
+    j = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)  # (B, Hc, W, C)
+    p1 = jnp.sum(x, axis=(1, 2))
+    p2 = jnp.sum(x * x, axis=(1, 2))
+
+    @pl.when(j == 0)
+    def _():
+        s1_ref[...] = p1
+        s2_ref[...] = p2
+
+    @pl.when(j != 0)
+    def _():
+        s1_ref[...] += p1
+        s2_ref[...] += p2
+
+
+# block budget: the kernel's fp32 temporaries (cast + square) triple the
+# bf16 block in VMEM stack, and the default scoped-vmem limit is 16 MB —
+# 4 MB input blocks keep the stack under it with double-buffering
+_GN_BLOCK_BUDGET = 4 * 1024 * 1024
+
+
+def _gn_sums_pallas(x, interpret: bool = False, block_budget: int = None):
+    """(B, H, W, C) → (sum, sum-of-squares) over (H, W), fp32, one pass.
+
+    XLA's spatial reduce is pathological at VAE shapes — measured 10.3 ms per
+    GroupNorm site at (6, 512, 512, 128) against a ~1.5 ms bandwidth floor,
+    167 ms of the 315 ms VAE decode (scripts/bench_gn_micro.py /
+    bench_vae_ablate.py). This kernel streams row blocks through VMEM once,
+    accumulating both sums in a resident (B, C) fp32 block. The (B, C)
+    output block is the whole array, which satisfies the Mosaic tiling rule
+    for any B/C; the input block keeps full W and C for the same reason.
+    """
+    b, h, w, c = x.shape
+    budget = block_budget or _GN_BLOCK_BUDGET
+    hc = h
+    while b * hc * w * c * x.dtype.itemsize > budget and hc % 2 == 0:
+        hc //= 2
+    return pl.pallas_call(
+        _gn_sums_kernel,
+        grid=(h // hc,),
+        interpret=interpret,
+        in_specs=[pl.BlockSpec((b, hc, w, c), lambda j: (0, j, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((b, c), lambda j: (0, 0)),
+            pl.BlockSpec((b, c), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: accumulates
+        ),
+    )(x)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _gn_sums(x, interpret: bool = False):
+    return _gn_sums_pallas(x, interpret)
+
+
+def _gn_sums_fwd(x, interpret):
+    return _gn_sums_pallas(x, interpret), x
+
+
+def _gn_sums_bwd(interpret, x, g):
+    ds1, ds2 = g
+    dx = ds1[:, None, None, :] + 2.0 * x.astype(jnp.float32) * ds2[:, None, None, :]
+    return (dx.astype(x.dtype),)
+
+
+_gn_sums.defvjp(_gn_sums_fwd, _gn_sums_bwd)
+
+
+def _gn_pallas_eligible(x) -> bool:
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    if h * w * b * c < (1 << 21):  # small activations: XLA reduce is fine
+        return False
+    hc = h
+    while b * hc * w * c * x.dtype.itemsize > _GN_BLOCK_BUDGET and hc % 2 == 0:
+        hc //= 2
+    if b * hc * w * c * x.dtype.itemsize > 64 * 1024 * 1024:
+        return False  # odd H too large to block — fall back
+    try:
+        return jax.devices()[0].platform.lower() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 class GroupNorm32(nn.Module):
@@ -70,8 +168,13 @@ class GroupNorm32(nn.Module):
         scale, bias = _GNParams(c, name="GroupNorm_0")()
         red_axes = tuple(range(1, x.ndim - 1))
         x32 = x.astype(jnp.float32)
-        s1 = jnp.sum(x32, axis=red_axes)          # (B, C); cast fuses into reduce
-        s2 = jnp.sum(x32 * x32, axis=red_axes)    # same input pass (multi-output fusion)
+        if _gn_pallas_eligible(x):
+            # single-pass Pallas stats (see _gn_sums_pallas) — XLA's reduce
+            # costs ~7x bandwidth at the VAE's big-spatial shapes
+            s1, s2 = _gn_sums(x)
+        else:
+            s1 = jnp.sum(x32, axis=red_axes)        # (B, C); cast fuses into reduce
+            s2 = jnp.sum(x32 * x32, axis=red_axes)  # same input pass (multi-output fusion)
         b = s1.shape[0]
         count = cg
         for a in red_axes:
@@ -135,8 +238,29 @@ class Dense(nn.Module):
         )(x)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder keeping ``nn.LayerNorm``'s ``LayerNorm_0/{scale,bias}``
+    tree path (and init) so converters and checkpoints are unaffected."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class LayerNormF32(nn.Module):
-    """LayerNorm reducing in float32."""
+    """LayerNorm reducing in float32.
+
+    Hand-rolled for the same reason as :class:`GroupNorm32`: casting to fp32
+    and calling the library LayerNorm materialises an fp32 activation copy;
+    written as explicit per-token statistics + one multiply-add, XLA fuses
+    the cast into the reduction pass and keeps the apply pass bf16-in/
+    bf16-out. Same fast-variance math (E[x²] − E[x]², fp32 accumulation) as
+    ``nn.LayerNorm`` — reassociation-level differences only.
+    """
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
@@ -144,9 +268,12 @@ class LayerNormF32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        scale, bias = _LNParams(x.shape[-1], name="LayerNorm_0")()
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        m2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(m2 - mu * mu + self.epsilon)
+        y = (x32 - mu) * inv * scale + bias
         return y.astype(orig)
 
 

@@ -178,6 +178,7 @@ class CrossAttention(nn.Module):
             q = q.astype(self.dtype)
             k = k.astype(self.dtype)
             v = v.astype(self.dtype)
+        to_out = nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")
         if context is not None and k.shape[1] == 1 and not fusion.active:
             # single-token context (the VFace image-conditioning operating
             # point: mapper2 emits ONE CLIP/ID token — reference ddpm.py's
@@ -186,8 +187,13 @@ class CrossAttention(nn.Module):
             # attention output equals v for every query, per head — the to_q
             # projection, scores, softmax and AV matmuls are all dead
             # compute. Bit-exact to the einsum path (1.0 * v in fp32 == v).
-            out = jnp.broadcast_to(v, (v.shape[0], x.shape[1], v.shape[-1]))
-        elif (
+            # Projecting BEFORE the broadcast keeps to_out at one token too
+            # (Dense is row-wise, so project-then-broadcast is bit-identical
+            # to broadcast-then-project) — the [B*N, C] @ [C, C] to_out
+            # matmul at every cross-attn site was the shortcut's remaining
+            # dead compute.
+            return jnp.broadcast_to(to_out(v), (v.shape[0], x.shape[1], inner))
+        if (
             self.use_flash
             and context is None
             and x.shape[1] >= self.dpa_min_tokens
@@ -214,7 +220,7 @@ class CrossAttention(nn.Module):
             out = flash_attention_v2(q, k, v, self.heads)
         else:
             out = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
-        return nn.Dense(inner, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(out)
+        return to_out(out)
 
 
 class GEGLU(nn.Module):

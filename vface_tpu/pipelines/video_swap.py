@@ -100,6 +100,18 @@ class SwapOptions:
     # Output-exact (batch elements are independent; hooks are off during
     # inversion); same eligibility/fallback rules as pipeline_packs.
     invert_packs: int = 1
+    # with invert_packs == 2: run the two packs' SAMPLING scans merged as one
+    # b=4F eval too (one 2-chunk CFG batch over both packs, FGATS pair-masked
+    # at the pack boundary like window boundaries) instead of two b=2F scans.
+    # Output-exact for the same reason window packing is (align_by_flow is
+    # per-pair, batch elements otherwise independent); worth it only where
+    # the measured per-row eval cost keeps falling past b=2F.
+    # MEASURED UNFAVORABLE on v5e (scripts/bench_batch_scaling.py round 3:
+    # 7.09 ms/row at b=24 vs 7.24 at b=48 and 7.30 at b=72 — b=24 is the
+    # per-row sweet spot), so off by default; kept for hardware with a
+    # different batch landscape, exactness pinned by
+    # test_superpack_merged_sampling_matches_sequential.
+    merge_sampling: bool = False
 
 
 class VideoSwapPipeline:
@@ -637,9 +649,28 @@ class VideoSwapPipeline:
             )
             return z0
 
-        z0_a = sample_half(slice(0, f), slice(0, f - 1), pair_mask_A)
-        z0_b = sample_half(slice(f, f2), slice(f, f2 - 1), pair_mask_B)
-        z0 = jnp.concatenate([z0_a, z0_b], axis=0)
+        if opts.merge_sampling:
+            # one 2-chunk CFG scan over BOTH packs (b = 2 * 2F rows/eval):
+            # FGATS is pair-masked at the pack boundary exactly like window
+            # boundaries (the boundary flow slot is zero-filled and never
+            # blended), so this is output-exact vs the two per-pack scans
+            ones = jnp.ones((f - 1,), jnp.float32)
+            pa = ones if pair_mask_A is None else pair_mask_A
+            pb = ones if pair_mask_B is None else pair_mask_B
+            pm_full = jnp.concatenate([pa, jnp.zeros((1,), jnp.float32), pb])
+            flow_q = resize_flow(flow_2, hq, hq) if has_flow else None
+            z0, _ = vface_sample(
+                model, params, x_T, cond_2, uncond_2, cond_2,
+                jnp.zeros((1, f2) + x_T.shape[1:]), z_inpaint, mask_lat,
+                self.injection, flow=flow_q, num_steps=opts.ddim_steps,
+                cfg_scale=opts.cfg_scale, eta=opts.eta,
+                encoder_interval=opts.encoder_interval,
+                drop_recon_chunk=True, flow_pair_mask=pm_full,
+            )
+        else:
+            z0_a = sample_half(slice(0, f), slice(0, f - 1), pair_mask_A)
+            z0_b = sample_half(slice(f, f2), slice(f, f2 - 1), pair_mask_B)
+            z0 = jnp.concatenate([z0_a, z0_b], axis=0)
         out01 = _per_half(
             lambda z: jnp.clip(
                 (model.decode_first_stage(params, z) + 1.0) * 0.5, 0.0, 1.0

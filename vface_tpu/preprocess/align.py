@@ -131,8 +131,17 @@ def paste_back(
     s = swapped_crop.shape[1]
     if mask_crop is None:
         mask_crop = jnp.ones((b, s, s, 1), frame.dtype)
-    warped = perspective_warp(swapped_crop, coeffs, hh, ww)
-    warped_mask = perspective_warp(mask_crop, coeffs, hh, ww)
+    # one warp for crop+mask: the two perspective_warps share identical
+    # sample coordinates, so concatenating channels halves the gather work
+    # (TPU grid_sample is gather-bound — scripts/bench_glue_micro.py measured
+    # paste_back at 520 ms/24 frames, ~40% of it the duplicate mask warp);
+    # bit-identical taps and weights.
+    nc = swapped_crop.shape[-1]
+    both = perspective_warp(
+        jnp.concatenate([swapped_crop, mask_crop.astype(swapped_crop.dtype)], axis=-1),
+        coeffs, hh, ww,
+    )
+    warped, warped_mask = both[..., :nc], both[..., nc:]
     # points sampling outside the crop get zero weight
     xs = jnp.arange(ww, dtype=jnp.float32)
     ys = jnp.arange(hh, dtype=jnp.float32)
