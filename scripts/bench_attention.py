@@ -49,6 +49,8 @@ def main():
         flash_attention_v2,
         flash_attention_v3,
         flash_attention_v4,
+        flash_attention_v5,
+        flash_attention_v6,
     )
 
     h, dh = 8, 40
@@ -72,6 +74,30 @@ def main():
         results["flash_v2"] = timeit(
             jax.jit(lambda q, k, v: flash_attention_v2(q, k, v, h)), q, k, v
         )
+        for bq in (512, 1024, 2048):
+            if bq <= n and n % bq == 0:
+                try:
+                    results[f"flash_v5 bq={bq}"] = timeit(
+                        jax.jit(
+                            lambda q, k, v, bq=bq: flash_attention_v5(
+                                q, k, v, h, block_q=bq, block_k=min(1024, n)
+                            )
+                        ),
+                        q, k, v,
+                    )
+                except Exception as e:
+                    results[f"flash_v5 bq={bq}"] = f"FAIL {type(e).__name__}"
+                try:
+                    results[f"flash_v6 bq={bq}"] = timeit(
+                        jax.jit(
+                            lambda q, k, v, bq=bq: flash_attention_v6(
+                                q, k, v, h, block_q=bq, block_k=min(1024, n)
+                            )
+                        ),
+                        q, k, v,
+                    )
+                except Exception as e:
+                    results[f"flash_v6 bq={bq}"] = f"FAIL {type(e).__name__}"
         for bq in (512, 1024, 2048):
             if n % bq == 0 or bq <= n:
                 try:

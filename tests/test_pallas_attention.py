@@ -66,6 +66,63 @@ def test_flash_v4_matches_einsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_v5_v6_match_einsum():
+    """bf16-operand kernels (v5 natural / v6 transposed layout) == the einsum
+    path at bf16 compute dtype — the exact dtype discipline the production
+    multi_head_attention uses (bf16 matmul operands, fp32 softmax)."""
+    import numpy as np
+
+    from vface_tpu.ops.attention import multi_head_attention
+    from vface_tpu.ops.pallas_attention import (
+        flash_attention_v5,
+        flash_attention_v6,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n, h, dh = 2, 256, 4, 40
+    q = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    ref = multi_head_attention(q, k, v, h, dtype=jnp.bfloat16).astype(jnp.float32)
+    got5 = flash_attention_v5(q, k, v, h, block_q=128, block_k=64, interpret=True)
+    got6 = flash_attention_v6(q, k, v, h, block_q=128, block_k=64, interpret=True)
+    # bf16 rounding of the probabilities happens at a different point in the
+    # online softmax (per k-block vs once), so allow a few bf16 ulps
+    np.testing.assert_allclose(np.asarray(got5, np.float32), ref, atol=0.04, rtol=0.04)
+    np.testing.assert_allclose(np.asarray(got6, np.float32), ref, atol=0.04, rtol=0.04)
+
+
+def test_flash_v5_backward_close_to_einsum_vjp():
+    """v5's custom VJP (stats forward + blockwise-recompute backward shared
+    with v2) tracks the einsum VJP at bf16-rounding tolerance."""
+    import numpy as np
+
+    from vface_tpu.ops.attention import multi_head_attention
+    from vface_tpu.ops.pallas_attention import flash_attention_v5
+
+    rng = np.random.default_rng(11)
+    b, n, h, dh = 2, 256, 4, 40
+    q = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(b, n, h * dh)), jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+        out = flash_attention_v5(q, k, v, h, block_q=128, block_k=64, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    def loss_ref(q, k, v):
+        out = multi_head_attention(q, k, v, h, dtype=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(r, np.float32), atol=0.25, rtol=0.1
+        )
+
+
 def test_flash_backward_matches_einsum_vjp():
     """The real Pallas flash backward (blockwise recompute, transposed
     layout, softmax stats from the stats-forward) == the einsum VJP — the

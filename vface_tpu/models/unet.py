@@ -212,12 +212,19 @@ class CrossAttention(nn.Module):
                 k.reshape(b_, n_, self.heads, dh_),
                 v.reshape(b_, n_, self.heads, dh_),
             ).reshape(b_, n_, d_)
-        elif self.use_flash and context is None and x.shape[1] >= 256:
-            # mid resolutions (N=256..1024): Pallas flash v2
-            # (whole-KV-in-VMEM; 1.7 ms vs 2.6 dpa / 2.6 einsum at N=1024)
-            from vface_tpu.ops.pallas_attention import flash_attention_v2
+        elif self.use_flash and context is None and x.shape[1] >= 512:
+            # mid resolutions (N=512..2047): Pallas flash v5 — the
+            # bf16-operand variant of v2 (fp32 casts before the dots forced
+            # fp32 MXU matmuls in v1-v4; keeping bf16 operands with fp32
+            # accumulation matches the einsum path's dtype discipline and
+            # the MXU's native rate). Measured at ds2 (b=24, N=1024):
+            # v5 2.53 ms vs v2 ~3.4 / dpa 3.82 / einsum ~5.8
+            # (scripts/bench_attn_v56.py, round 3). At ds4 (N=256) the plain
+            # einsum wins outright (0.99 vs v2 1.31 / v5 1.05 ms), hence the
+            # 512-token floor.
+            from vface_tpu.ops.pallas_attention import flash_attention_v5
 
-            out = flash_attention_v2(q, k, v, self.heads)
+            out = flash_attention_v5(q, k, v, self.heads)
         else:
             out = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
         return to_out(out)

@@ -666,6 +666,290 @@ def flash_attention_v4(
     return out.reshape(b, h, dh, nq).transpose(0, 3, 1, 2).reshape(b, nq, d)
 
 
+# ---------------------------------------------------------------------------
+# v5/v6: bf16-operand kernels — keep the MXU matmuls at native bf16 rate
+# ---------------------------------------------------------------------------
+#
+# Every kernel above casts q/k/v to fp32 BEFORE the dots, which forces fp32
+# MXU matmuls (a multi-pass emulation on v5e — a fraction of bf16 peak).
+# XLA's dot_product_attention (the measured ds1 winner, 12 ms/site at b=24)
+# feeds the MXU bf16 operands with fp32 accumulation, which is also exactly
+# what the production einsum path does (ops/attention.py:227-229:
+# preferred_element_type=f32 on bf16 operands, softmax in fp32, probabilities
+# cast back to bf16 for the PV matmul). v5 (natural layout) and v6
+# (transposed (dh, N) layout, PV at full output width) reproduce that dtype
+# discipline inside the flash kernel: only the softmax statistics live in
+# fp32; both matmuls run bf16×bf16→fp32.
+
+
+def _flash_kernel_v5(q_ref, k_ref, v_ref, o_ref, *, block_k, kv_len, scale):
+    """Grid: (batch*heads, q_blocks); K/V resident in VMEM; bf16 operands."""
+    q = q_ref[0]  # (Bq, dh), input dtype
+    bq, dh = q.shape
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # fp32 (Bq, Bk)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_v5(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """v2 structure with bf16 MXU operands (fp32 softmax statistics only).
+
+    Differentiable with the same real flash backward as v2 (stats-emitting
+    forward + blockwise-recompute kernels) so the training memory win is
+    preserved; the backward recompute runs the v2 (fp32-operand) math, whose
+    bf16-rounding-level deviation from the v5 primal is below any gradient
+    noise floor (pinned by test_flash_v5_backward_close_to_einsum_vjp)."""
+    return _flash_v5_diff(q, k, v, num_heads, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_v5_diff(q, k, v, num_heads, block_q, block_k, interpret):
+    return _flash_v5_impl(q, k, v, num_heads, block_q, block_k, interpret)
+
+
+def _flash_v5_fwd(q, k, v, num_heads, block_q, block_k, interpret):
+    if not _can_tile(q, k, block_q, block_k, interpret):
+        return _flash_v5_impl(q, k, v, num_heads, block_q, block_k, interpret), (
+            q, k, v, None, None,
+        )
+    out, m, l = _flash_v5_stats(q, k, v, num_heads, block_q, block_k, interpret)
+    return out, (q, k, v, m, l)
+
+
+_flash_v5_diff.defvjp(_flash_v5_fwd, _flash_v2_bwd)  # same backward as v2
+
+
+def _flash_v5_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+
+    qh, kh, vh = split_heads(q, nq), split_heads(k, nk), split_heads(v, nk)
+    grid = (b * h, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v5, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+    return out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)
+
+
+def _flash_kernel_v5_stats(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, block_k, kv_len, scale):
+    """v5 forward that also emits the per-row softmax stats for the flash
+    backward. Same bf16-operand math as _flash_kernel_v5."""
+    q = q_ref[0]
+    bq, dh = q.shape
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    m_ref[0] = m
+    l_ref[0] = l
+
+
+def _flash_v5_stats(q, k, v, num_heads, block_q, block_k, interpret):
+    """v5 forward returning (out, m (B*h, nq), l (B*h, nq))."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+
+    def split_heads(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3).reshape(b * h, n, dh)
+
+    qh, kh, vh = split_heads(q, nq), split_heads(k, nk), split_heads(v, nk)
+    grid = (b * h, nq // block_q)
+    out, m, l = pl.pallas_call(
+        functools.partial(_flash_kernel_v5_stats, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dh), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+    out = out.reshape(b, h, nq, dh).transpose(0, 2, 1, 3).reshape(b, nq, d)
+    return out, m[..., 0], l[..., 0]
+
+
+def _flash_kernel_v6(qt_ref, kt_ref, vt_ref, o_ref, *, block_k, kv_len, scale):
+    """Grid: (batch*heads, q_blocks); transposed (dh, N) layout, bf16 operands.
+
+    QK^T contracts over dh (sublane dim — the unavoidable 40/128 MXU ceiling)
+    but PV contracts over Bk with output (dh, Bq): full lane width, zero
+    padding waste on the accumulator."""
+    qt = qt_ref[0]  # (dh, Bq), input dtype
+    dh, bq = qt.shape
+    n_kb = kv_len // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry  # m/l (Bq, 1); acc (dh, Bq) fp32
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)]
+        vt = vt_ref[0, :, pl.ds(i * block_k, block_k)]
+        s = jax.lax.dot_general(
+            qt, kt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, Bk) fp32
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            vt, p.astype(vt.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dh, Bq)
+        acc = acc * alpha[:, 0][None, :] + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((dh, bq), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
+    o_ref[0] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def flash_attention_v6(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-layout flash with bf16 MXU operands."""
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    h = num_heads
+    dh = d // h
+    scale = dh**-0.5
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    if nq % block_q or nk % block_k or not (interpret or _on_tpu()):
+        from vface_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, num_heads, dtype=q.dtype)
+
+    def split_heads_t(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 3, 1).reshape(b * h, dh, n)
+
+    qt, kt, vt = split_heads_t(q, nq), split_heads_t(k, nk), split_heads_t(v, nk)
+    grid = (b * h, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_v6, block_k=block_k, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dh, block_q), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, nk), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, dh, block_q), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, dh, nq), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out.reshape(b, h, dh, nq).transpose(0, 3, 1, 2).reshape(b, nq, d)
+
+
 def flash_attention_v3(
     q: jax.Array,
     k: jax.Array,
