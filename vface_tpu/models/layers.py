@@ -60,9 +60,14 @@ def _gn_sums_kernel(x_ref, s1_ref, s2_ref):
 
 
 # block budget: the kernel's fp32 temporaries (cast + square) triple the
-# bf16 block in VMEM stack, and the default scoped-vmem limit is 16 MB —
-# 4 MB input blocks keep the stack under it with double-buffering
-_GN_BLOCK_BUDGET = 4 * 1024 * 1024
+# bf16 block in VMEM stack, and the default scoped-vmem limit is 16 MB.
+# 4 MB blocks left no margin: the VAE shapes landed at ~14 MB of stack but
+# the UNet in_norm at (24, 64, 64, 320) hit 18.16 MB — a real-chip scoped
+# OOM inside the super-pack program (hc halving quantises the block size,
+# so the stack varies with shape). 2 MB blocks bound the stack at ~10 MB
+# for every eligible shape; the kernel is bandwidth-bound and 2 MB still
+# amortises the grid overhead.
+_GN_BLOCK_BUDGET = 2 * 1024 * 1024
 
 
 def _gn_sums_pallas(x, interpret: bool = False, block_budget: int = None):
@@ -126,6 +131,15 @@ def _gn_pallas_eligible(x) -> bool:
         return False
     b, h, w, c = x.shape
     if h * w * b * c < (1 << 21):  # small activations: XLA reduce is fine
+        return False
+    if h * w < (1 << 14):
+        # XLA's spatial-reduce pathology is a BIG-spatial phenomenon (measured
+        # 10.3 ms/site at 512², ~7× the bandwidth floor — bench_gn_micro.py);
+        # at the UNet's ≤64² maps XLA reduces fine (conv/GN backbone measured
+        # 87% MXU, bench_unet_ablate.py) and the kernel is unmeasured there —
+        # it also put an 18 MB stack on the scoped VMEM limit at b=24 (the
+        # real-chip super-pack OOM). Keep the kernel where it was measured to
+        # win: the VAE's 128²…512² stages.
         return False
     hc = h
     while b * hc * w * c * x.dtype.itemsize > _GN_BLOCK_BUDGET and hc % 2 == 0:
