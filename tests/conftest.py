@@ -13,9 +13,20 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_warn_stuck_timeout_seconds" not in flags:
+    # 8 virtual devices time-slice ONE physical core; when another heavy
+    # process shares the host, XLA-CPU's default 40 s collective rendezvous
+    # HARD-KILLS the test process mid-suite (observed: pytest dying with no
+    # summary while an XLA compile ran alongside). Raise all three timeouts —
+    # harmless on an idle host.
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        + " --xla_cpu_collective_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
