@@ -70,6 +70,30 @@ def _gn_sums_kernel(x_ref, s1_ref, s2_ref):
 _GN_BLOCK_BUDGET = 2 * 1024 * 1024
 
 
+def _gn_block_rows(b: int, h: int, w: int, c: int, itemsize: int,
+                   budget: int = _GN_BLOCK_BUDGET) -> int:
+    """Rows per input block: halve H until the block fits the VMEM budget.
+
+    Shared by the kernel launch and the eligibility gate so the two cannot
+    drift (ADVICE r3). The loop exits with hc odd when H's power-of-two part
+    is exhausted — callers must check the resulting block size again; a shape
+    whose odd remainder is still over budget is NOT eligible (at a ~6x
+    block→VMEM-stack ratio, anything much over the budget busts the 16 MB
+    scoped-VMEM limit — the class of failure behind the round-3 real-chip
+    OOM)."""
+    hc = h
+    while b * hc * w * c * itemsize > budget and hc % 2 == 0:
+        hc //= 2
+    return hc
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _gn_sums_pallas(x, interpret: bool = False, block_budget: int = None):
     """(B, H, W, C) → (sum, sum-of-squares) over (H, W), fp32, one pass.
 
@@ -83,9 +107,12 @@ def _gn_sums_pallas(x, interpret: bool = False, block_budget: int = None):
     """
     b, h, w, c = x.shape
     budget = block_budget or _GN_BLOCK_BUDGET
-    hc = h
-    while b * hc * w * c * x.dtype.itemsize > budget and hc % 2 == 0:
-        hc //= 2
+    hc = _gn_block_rows(b, h, w, c, x.dtype.itemsize, budget)
+    if b * hc * w * c * x.dtype.itemsize > budget:
+        # Defensive: odd-H remainder still over budget (the gate should have
+        # rejected this shape). XLA fallback instead of risking scoped-VMEM.
+        x32 = x.astype(jnp.float32)
+        return jnp.sum(x32, axis=(1, 2)), jnp.sum(x32 * x32, axis=(1, 2))
     return pl.pallas_call(
         _gn_sums_kernel,
         grid=(h // hc,),
@@ -141,15 +168,14 @@ def _gn_pallas_eligible(x) -> bool:
         # real-chip super-pack OOM). Keep the kernel where it was measured to
         # win: the VAE's 128²…512² stages.
         return False
-    hc = h
-    while b * hc * w * c * x.dtype.itemsize > _GN_BLOCK_BUDGET and hc % 2 == 0:
-        hc //= 2
-    if b * hc * w * c * x.dtype.itemsize > 64 * 1024 * 1024:
-        return False  # odd H too large to block — fall back
-    try:
-        return jax.devices()[0].platform.lower() == "tpu"
-    except Exception:  # pragma: no cover
+    hc = _gn_block_rows(b, h, w, c, x.dtype.itemsize)
+    if b * hc * w * c * x.dtype.itemsize > _GN_BLOCK_BUDGET:
+        # Odd-H remainder still over budget: the ~6x block→stack ratio means
+        # any block much past the budget busts the 16 MB scoped-VMEM limit
+        # (ADVICE r3 — e.g. (12, 512, 512, 256) bf16 lands at hc=1 / 3 MB,
+        # an 18 MB-class stack). Fall back to the XLA reduce.
         return False
+    return _on_tpu()
 
 
 class GroupNorm32(nn.Module):
