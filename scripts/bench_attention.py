@@ -45,12 +45,14 @@ def timeit(fn, *args, reps=20):
 
 def main():
     from vface_tpu.ops.attention import multi_head_attention
-    from vface_tpu.ops.pallas_attention import (
-        flash_attention_v2,
+    from vface_tpu.ops._archive_attention import (
         flash_attention_v3,
         flash_attention_v4,
-        flash_attention_v5,
         flash_attention_v6,
+    )
+    from vface_tpu.ops.pallas_attention import (
+        flash_attention_v2,
+        flash_attention_v5,
     )
 
     h, dh = 8, 40

@@ -38,10 +38,8 @@ def timeit(fn, *args, reps=20):
 
 
 def main():
-    from vface_tpu.ops.pallas_attention import (
-        flash_attention_v5,
-        flash_attention_v6,
-    )
+    from vface_tpu.ops._archive_attention import flash_attention_v6
+    from vface_tpu.ops.pallas_attention import flash_attention_v5
 
     h, dh = 8, 40
     d = h * dh

@@ -37,7 +37,7 @@ def test_flash_v3_matches_einsum():
     import numpy as np
 
     from vface_tpu.ops.attention import multi_head_attention
-    from vface_tpu.ops.pallas_attention import flash_attention_v3
+    from vface_tpu.ops._archive_attention import flash_attention_v3
 
     rng = np.random.default_rng(3)
     b, n, h, dh = 2, 256, 4, 40
@@ -54,7 +54,7 @@ def test_flash_v4_matches_einsum():
     import numpy as np
 
     from vface_tpu.ops.attention import multi_head_attention
-    from vface_tpu.ops.pallas_attention import flash_attention_v4
+    from vface_tpu.ops._archive_attention import flash_attention_v4
 
     rng = np.random.default_rng(5)
     b, n, h, dh = 2, 256, 4, 40
@@ -72,11 +72,9 @@ def test_flash_v5_v6_match_einsum():
     multi_head_attention uses (bf16 matmul operands, fp32 softmax)."""
     import numpy as np
 
+    from vface_tpu.ops._archive_attention import flash_attention_v6
     from vface_tpu.ops.attention import multi_head_attention
-    from vface_tpu.ops.pallas_attention import (
-        flash_attention_v5,
-        flash_attention_v6,
-    )
+    from vface_tpu.ops.pallas_attention import flash_attention_v5
 
     rng = np.random.default_rng(7)
     b, n, h, dh = 2, 256, 4, 40
