@@ -85,6 +85,16 @@ class FusionConfig:
     # UNet eval as the current pack's 2-chunk sampling batch; those rows must
     # pass through attn1 exactly as a hook-free forward would.
     bystander: int = 0
+    # FRAME-SHARDED mode (the CP analog of SURVEY §7): when set, the fusion
+    # runs inside a shard_map whose named axis shards the FRAME dim, and the
+    # FGATS blend uses the 1-frame-halo primitive (ops.warp.align_by_flow_halo
+    # — one ppermute to the left neighbour) instead of the local shift. In
+    # this mode ``flow`` and ``pair_mask`` use the LEFT-PADDED per-frame
+    # layout — (f_local, Hq, Wq, 2) / (f_local,), slot i = pair (prev, i),
+    # global frame 0's slot dead and its mask entry 0. Cross-window carry
+    # (prev_qk/flow0) is not supported here (window-parallel is the
+    # production multi-chip path; this is the frame-parallel one).
+    flow_axis: Optional[str] = None
 
     @property
     def active(self) -> bool:
@@ -168,6 +178,28 @@ def fuse_qkv(
             # FGATS: warp only the swap chunk (index 1) across frames.
             q_sw = qn[1].reshape(f, side, side, d)
             k_sw = kn[1].reshape(f, side, side, d)
+            if cfg.flow_axis is not None:
+                # frame-sharded: 1-frame halo over the named axis; left-padded
+                # (f,) flow/pair_mask layout (see FusionConfig.flow_axis).
+                # Early return: the 2-chunk donor-copy overwrite below would
+                # discard the blend anyway — forbid that combination.
+                if chunks == 2 and cfg.two_chunk_replace:
+                    raise ValueError(
+                        "flow_axis (frame-sharded FGATS) requires the "
+                        "recon-free 2-chunk semantics (two_chunk_replace="
+                        "False) or 3 chunks"
+                    )
+                q_sw = W.align_by_flow_halo(
+                    q_sw, flow, cfg.flow_alpha, pair_mask, cfg.flow_axis
+                ).reshape(f, n, d)
+                k_sw = W.align_by_flow_halo(
+                    k_sw, flow, cfg.flow_alpha, pair_mask, cfg.flow_axis
+                ).reshape(f, n, d)
+                qn = qn.at[1].set(q_sw)
+                kn = kn.at[1].set(k_sw)
+                qcat = qn.reshape(b, n, d).astype(q.dtype)
+                kcat = kn.reshape(b, n, d).astype(k.dtype)
+                return qcat, kcat, v, None
             # cross-window carry OUT: last frame's post-FSAI, pre-blend q/k
             # (align_by_flow blends with the *original* previous frame,
             # temporal_flow.py:223-237 — the carry must match that semantics)

@@ -124,6 +124,53 @@ def align_by_flow(
     return jnp.concatenate([first, blended.astype(x.dtype)], axis=0)
 
 
+def align_by_flow_halo(
+    x: jax.Array,
+    flow: jax.Array,
+    alpha: float = 0.8,
+    pair_mask: jax.Array = None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """:func:`align_by_flow` for a FRAME-SHARDED batch — inside ``shard_map``.
+
+    The CP analog of SURVEY §7: frames are sharded over ``axis_name``; the
+    only cross-frame dependency (the FGATS blend with the previous frame,
+    `scripts/temporal_flow.py:223-237`) needs a 1-frame halo, fetched from
+    the left neighbour with ONE ``ppermute`` instead of all-gathering the
+    window.
+
+    Per-shard view (f_local = F / n_shards):
+      x:    (f_local, H, W, C)
+      flow: (f_local, H, W, 2) — LEFT-PADDED convention: flow[i] maps local
+            frame i's pixels back to the previous GLOBAL frame, so the
+            shard-boundary pair rides slot 0 (global frame 0's slot is dead).
+      pair_mask: (f_local,) per-FRAME blend mask (same left-padded layout);
+            the caller MUST zero the global frame 0 entry — that is what
+            makes the first frame pass through unchanged (instead of the
+            axis_index check, so window packing keeps working unchanged).
+
+    out[i] = m[i]·(alpha·x[i] + (1−alpha)·warp(prev(i), flow[i])) +
+             (1−m[i])·x[i],  with prev(local 0) = left neighbour's last frame.
+    """
+    from jax.lax import ppermute
+
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    halo = ppermute(x[-1], axis_name, perm)  # left neighbour's last frame
+    prev = jnp.concatenate([halo[None], x[:-1]], axis=0)
+    warped = warp_by_flow(prev.astype(x.dtype), flow)
+    blended = alpha * x + (1.0 - alpha) * warped
+    if pair_mask is None:
+        # no mask given: still force global frame 0 to identity
+        idx = jax.lax.axis_index(axis_name)
+        is_first = (jnp.arange(x.shape[0]) == 0) & (idx == 0)
+        m = 1.0 - is_first.astype(blended.dtype)
+    else:
+        m = pair_mask.astype(blended.dtype)
+    m = m[:, None, None, None]
+    return (m * blended + (1.0 - m) * x).astype(x.dtype)
+
+
 def align_by_flow_chain(x: jax.Array, flow: jax.Array, alpha: float = 0.5) -> jax.Array:
     """Recurrent variant: out[i+1] = alpha*x[i+1] + (1-alpha)*warp(out[i], flow[i]).
 

@@ -83,6 +83,7 @@ def align_by_flow_sharded(
     flow: jax.Array,
     alpha: float = 0.8,
     axis_name: str = "data",
+    pair_mask: jax.Array = None,
 ) -> jax.Array:
     """FGATS blend with frames sharded over ``axis_name`` — inside shard_map.
 
@@ -93,20 +94,13 @@ def align_by_flow_sharded(
     on the left neighbour — fetched with one `ppermute` (the 1-frame halo of
     SURVEY §7) instead of an all-gather of the window.
 
-    out[i] = alpha·x[i] + (1-alpha)·warp(prev(x, i), flow[i]); the global
-    first frame passes through unchanged (handled by the caller's mask or by
-    alpha=1 on that frame).
+    Thin alias of :func:`vface_tpu.ops.warp.align_by_flow_halo` — the
+    primitive the frame-sharded sampling path consumes (via
+    ``FusionConfig.flow_axis``); kept here as the parallel-layer API.
     """
-    from vface_tpu.ops.warp import warp_by_flow
+    from vface_tpu.ops.warp import align_by_flow_halo
 
-    halo = frame_halo_exchange(x, axis_name)  # left neighbour's last frame
-    prev = jnp.concatenate([halo[None], x[:-1]], axis=0)
-    warped = warp_by_flow(prev, flow)
-    blended = alpha * x + (1.0 - alpha) * warped
-    # global frame 0: identity (no predecessor exists)
-    idx = jax.lax.axis_index(axis_name)
-    is_first = (jnp.arange(x.shape[0]) == 0) & (idx == 0)
-    return jnp.where(is_first[:, None, None, None], x, blended)
+    return align_by_flow_halo(x, flow, alpha, pair_mask, axis_name)
 
 
 def zero1_sharding(mesh: Mesh, tree, axis_name: str = "data"):
