@@ -76,8 +76,10 @@ def main():
     )
     ap.add_argument(
         "--cross_window_carry", action="store_true",
-        help="FGATS carry across window boundaries (beyond the reference; "
-        "removes the per-window temporal seam; sequential mode only)",
+        help="EXPERIMENTAL: FGATS carry across window boundaries (beyond the "
+        "reference; targets the per-window temporal seam; sequential mode "
+        "only. Mechanism is test-pinned but its benefit is unproven at "
+        "random weights — needs trained checkpoints)",
     )
     args = ap.parse_args()
 

@@ -71,6 +71,11 @@ class SwapOptions:
     # window's last-frame attention q/k into the next window's first frame,
     # removing the window-boundary temporal seam (SURVEY §5). Sequential
     # windows only (the sharded path keeps windows independent).
+    # EXPERIMENTAL: the mechanism is correct and pinned by tests
+    # (within-window invariance, boundary-only effect), but its *benefit* is
+    # only measurable with trained weights — at random weights the boundary
+    # delta is below noise (PLAN.md round-3 carry table). Until real
+    # checkpoints exist, treat as a research flag, not a production default.
     cross_window_carry: bool = False
     # pack this many consecutive windows into ONE device program (frames
     # concatenated; FGATS blends masked at window boundaries so the output
