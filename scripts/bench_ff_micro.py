@@ -37,6 +37,10 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 B, N, C, MULT, L = 24, 4096, 320, 4, 5
+# ds2: --shape=24,1024,640,5   ds4: --shape=24,256,1280,6
+for _a in sys.argv[1:]:
+    if _a.startswith("--shape="):
+        B, N, C, L = (int(v) for v in _a.split("=", 1)[1].split(","))
 REPS = 5
 DT = jnp.bfloat16
 

@@ -224,7 +224,9 @@ class CrossAttention(nn.Module):
             # 512-token floor.
             from vface_tpu.ops.pallas_attention import flash_attention_v5
 
-            out = flash_attention_v5(q, k, v, self.heads)
+            # block_q=512 measured best at the ds2 shape (b=24, N=1024):
+            # 2.10 ms vs 2.20 at the 1024 default (scripts/bench_attn_v56.py r4)
+            out = flash_attention_v5(q, k, v, self.heads, block_q=512)
         else:
             out = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
         return to_out(out)

@@ -189,14 +189,15 @@ def fuse_qkv(
                         "recon-free 2-chunk semantics (two_chunk_replace="
                         "False) or 3 chunks"
                     )
-                q_sw = W.align_by_flow_halo(
-                    q_sw, flow, cfg.flow_alpha, pair_mask, cfg.flow_axis
-                ).reshape(f, n, d)
-                k_sw = W.align_by_flow_halo(
-                    k_sw, flow, cfg.flow_alpha, pair_mask, cfg.flow_axis
-                ).reshape(f, n, d)
-                qn = qn.at[1].set(q_sw)
-                kn = kn.at[1].set(k_sw)
+                # one channel-concatenated warp for q AND k: TPU gathers are
+                # index-bound, so halving the index work is ~2x on the warp
+                # (bit-equal per channel; scripts/bench_warp_micro.py)
+                qk = jnp.concatenate([q_sw, k_sw], axis=-1)
+                qk = W.align_by_flow_halo(
+                    qk, flow, cfg.flow_alpha, pair_mask, cfg.flow_axis
+                )
+                qn = qn.at[1].set(qk[..., :d].reshape(f, n, d))
+                kn = kn.at[1].set(qk[..., d:].reshape(f, n, d))
                 qcat = qn.reshape(b, n, d).astype(q.dtype)
                 kcat = kn.reshape(b, n, d).astype(k.dtype)
                 return qcat, kcat, v, None
@@ -207,19 +208,29 @@ def fuse_qkv(
                 "q": q_sw[-1:].reshape(1, n, d),
                 "k": k_sw[-1:].reshape(1, n, d),
             }
-            pq = pk = f0 = None
+            prev0 = f0 = None
             if prev_qk is not None and flow0 is not None:
-                pq = prev_qk["q"].astype(jnp.float32).reshape(1, side, side, d)
-                pk = prev_qk["k"].astype(jnp.float32).reshape(1, side, side, d)
+                prev0 = jnp.concatenate(
+                    [
+                        prev_qk["q"].astype(jnp.float32).reshape(1, side, side, d),
+                        prev_qk["k"].astype(jnp.float32).reshape(1, side, side, d),
+                    ],
+                    axis=-1,
+                )
                 f0 = flow0
-            q_sw = W.align_by_flow(
-                q_sw, flow, cfg.flow_alpha, pq, f0, pair_mask
-            ).reshape(f, n, d)
-            k_sw = W.align_by_flow(
-                k_sw, flow, cfg.flow_alpha, pk, f0, pair_mask
-            ).reshape(f, n, d)
-            qn = qn.at[1].set(q_sw)
-            kn = kn.at[1].set(k_sw)
+            # one channel-concatenated warp for q AND k: TPU gathers are
+            # index-bound, so halving the index work is ~2x on the warp cost
+            # (bit-equal per channel — the blend is channelwise linear;
+            # scripts/bench_warp_micro.py: stacked 5.81 → four-gather 4.42 ms
+            # per (11, 64, 64, 320) warp, and q+k share one index set here).
+            # Stays fp32: a bf16-operand gather was measured CATASTROPHIC
+            # (994 vs 182 ms/step, scripts/bench_sample_scan.py — XLA lowers
+            # the 2-byte-element gather poorly), so the bandwidth saving is
+            # not reachable that way.
+            qk = jnp.concatenate([q_sw, k_sw], axis=-1)
+            qk = W.align_by_flow(qk, flow, cfg.flow_alpha, prev0, f0, pair_mask)
+            qn = qn.at[1].set(qk[..., :d].reshape(f, n, d))
+            kn = kn.at[1].set(qk[..., d:].reshape(f, n, d))
         if cfg.mode == "fft_vfixed":
             vc = v.reshape(chunks, f, n, d)
             pin = lambda ch: jnp.broadcast_to(ch[:1], ch.shape)

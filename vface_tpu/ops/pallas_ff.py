@@ -76,12 +76,16 @@ def _ff_kernel(x_ref, wp_ref, bp_ref, wo_ref, bo_ref, o_ref, *, inner):
     o_ref[...] = o32.astype(x.dtype) + bo_ref[...]
 
 
-def _pallas_impl(x2, wp, bp, wo, bo, interpret):
+def _pallas_impl(x2, wp, bp, wo, bo, interpret, tm=None):
     m, c = x2.shape
     two_i = wp.shape[1]
     inner = two_i // 2
-    # VMEM budget: weights (c·2i + i·c bf16) + h32 (tm·2i fp32) + tiles
-    tm = 256 if c > 768 else 512
+    # VMEM budget: weights (c·2i + i·c bf16) + h32 (tm·2i fp32) + tiles.
+    # tm=128 measured best at BOTH live shapes (scripts/bench_ff_tile.py:
+    # C=320 3.88 vs 4.02 @512; C=640 3.01 vs 3.10 @256) — smaller tiles
+    # give Mosaic more grid steps to overlap DMA under the sequential
+    # matmul→erf→matmul body.
+    tm = tm or 128
     pad = (-m) % tm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

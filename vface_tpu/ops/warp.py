@@ -49,21 +49,41 @@ def grid_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
 
-    # TPU gathers are index-bound, not byte-bound: ONE take_along_axis over
-    # an edge-replicated 4-tap channel stack (C → 4C) replaces four separate
-    # gathers — measured 520 → ~180 ms on the 24-frame paste-back
-    # (scripts/bench_glue_micro.py). Edge replication reproduces the
-    # clamped x0+1 / y0+1 taps exactly (x0 ∈ [0, w-1] after the clamp above,
-    # and the +1 taps only carry nonzero weight when they are in range).
-    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
-    stack = jnp.concatenate([img, right, down, downright], axis=-1)
-    flat = stack.reshape(b, h * w, 4 * c)
-    idx = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)).reshape(b, -1, 1)
-    g = jnp.take_along_axis(flat, idx, axis=1).reshape(x.shape + (4 * c,))
-    v00, v01 = g[..., :c], g[..., c : 2 * c]
-    v10, v11 = g[..., 2 * c : 3 * c], g[..., 3 * c :]
+    if c <= 16:
+        # SMALL C (images, masks): TPU gathers are index-bound, not
+        # byte-bound — ONE take_along_axis over an edge-replicated 4-tap
+        # channel stack (C → 4C) replaces four separate gathers. Measured
+        # 520 → ~180 ms on the 24-frame paste-back
+        # (scripts/bench_glue_micro.py). Edge replication reproduces the
+        # clamped x0+1 / y0+1 taps exactly (x0 ∈ [0, w-1] after the clamp
+        # above, and the +1 taps only carry nonzero weight when in range).
+        right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        stack = jnp.concatenate([img, right, down, downright], axis=-1)
+        flat = stack.reshape(b, h * w, 4 * c)
+        idx = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)).reshape(b, -1, 1)
+        g = jnp.take_along_axis(flat, idx, axis=1).reshape(x.shape + (4 * c,))
+        v00, v01 = g[..., :c], g[..., c : 2 * c]
+        v10, v11 = g[..., 2 * c : 3 * c], g[..., 3 * c :]
+    else:
+        # WIDE C (FGATS q/k at 320..1280): the 4-tap stack quadruples the
+        # row payload (materialise + re-read 4C rows) and loses — four
+        # row-gathers at C are 24% faster at (11, 64, 64, 320)
+        # (scripts/bench_warp_micro.py: 5.81 → 4.42 ms). Bit-identical
+        # taps: clamped +1 indices == edge replication.
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, w - 1)
+        y1i = jnp.minimum(y0i + 1, h - 1)
+        flat = img.reshape(b, h * w, c)
+
+        def take(yy, xx):
+            idx = (yy * w + xx).reshape(b, -1, 1)
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(x.shape + (c,))
+
+        v00, v01 = take(y0i, x0i), take(y0i, x1i)
+        v10, v11 = take(y1i, x0i), take(y1i, x1i)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return (top * (1 - wy) + bot * wy).astype(img.dtype)
