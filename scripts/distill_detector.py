@@ -40,6 +40,91 @@ apply_platform_from_env()
 
 STRIDE = 8
 
+# Real-photo training mix (round-4): face patches from the reference's
+# example photos composited onto synthetic backgrounds. elon / oscar-isaac /
+# 10092 are deliberately EXCLUDED — they are the held-out identities
+# tests/test_detector_real_faces.py validates on (no train/test circularity).
+REAL_DIR = "/root/reference/REFace/examples/FaceSwap/Source"
+TRAIN_REAL_BOXES = {
+    "will_smith.jpeg": (1700, 300, 3350, 2400),
+    "yanlecun.jpeg": (370, 70, 520, 260),
+    "10075-00.png": (150, 150, 920, 1024),
+    "10076-00.png": (180, 100, 870, 1024),
+}
+
+
+def load_real_patches(side: int = 160):
+    """[(patch01 (side, side, 3), (cx, cy, fw, fh) face box in patch px)]."""
+    from PIL import Image
+
+    out = []
+    for name, (x0, y0, x1, y1) in TRAIN_REAL_BOXES.items():
+        path = os.path.join(REAL_DIR, name)
+        if not os.path.exists(path):
+            continue
+        im = Image.open(path).convert("RGB")
+        w, h = x1 - x0, y1 - y0
+        mx, my = 0.3 * w, 0.3 * h
+        box = (max(0, int(x0 - mx)), max(0, int(y0 - my)),
+               min(im.width, int(x1 + mx)), min(im.height, int(y1 + my)))
+        patch = im.crop(box).resize((side, side), Image.BILINEAR)
+        cx = ((x0 + x1) / 2 - box[0]) / (box[2] - box[0]) * side
+        cy = ((y0 + y1) / 2 - box[1]) / (box[3] - box[1]) * side
+        fw = w / (box[2] - box[0]) * side
+        fh = h / (box[3] - box[1]) * side
+        out.append((np.asarray(patch, np.float32) / 255.0, (cx, cy, fw, fh)))
+    return out
+
+
+def render_scene_real(rng: np.random.Generator, size: int, patches,
+                      max_faces: int = 4):
+    """Composite 1-3 real face patches (flip/scale/photometric-jittered) on a
+    synthetic background; GT boxes mapped from the hand annotations."""
+    from vface_tpu.preprocess.synthetic_faces import _background
+
+    s = size
+    yy, xx = np.meshgrid(np.arange(s, dtype=np.float32),
+                         np.arange(s, dtype=np.float32), indexing="ij")
+    img = _background(rng, s, xx, yy)
+    n = int(rng.integers(1, 4))
+    boxes = np.zeros((max_faces, 4), np.float32)
+    valid = np.zeros((max_faces,), bool)
+    placed = []
+    from PIL import Image
+
+    for i in range(n):
+        patch, (cx, cy, fw, fh) = patches[int(rng.integers(len(patches)))]
+        side = int(rng.uniform(0.16, 0.55) * s)
+        for _ in range(12):
+            px = int(rng.uniform(0, s - side))
+            py = int(rng.uniform(0, s - side))
+            c = (px + side / 2, py + side / 2)
+            if all(np.hypot(c[0] - q[0], c[1] - q[1]) > 0.75 * (side + q[2])
+                   for q in placed):
+                break
+        else:
+            continue
+        placed.append((c[0], c[1], side))
+        p = patch
+        if rng.random() < 0.5:
+            p = p[:, ::-1]
+            cx = p.shape[1] - cx
+        p = np.asarray(
+            Image.fromarray((p * 255).astype(np.uint8)).resize(
+                (side, side), Image.BILINEAR
+            ), np.float32) / 255.0
+        # photometric jitter: gain/bias per channel + mild gamma
+        gain = rng.uniform(0.75, 1.2, (1, 1, 3))
+        bias = rng.uniform(-0.08, 0.08, (1, 1, 3))
+        p = np.clip(p ** rng.uniform(0.8, 1.25) * gain + bias, 0, 1)
+        img[py : py + side, px : px + side] = p
+        k = side / patch.shape[0]
+        boxes[i] = (px + cx * k, py + cy * k, fw * k, fh * k)
+        valid[i] = True
+    from vface_tpu.preprocess.synthetic_faces import _photometrics
+
+    return _photometrics(img, rng, xx, yy), boxes, valid
+
 
 def build_targets(boxes: np.ndarray, valid: np.ndarray, size: int):
     """(N, K, 4) [cx, cy, w, h] px + (N, K) valid → heat (N, h, w, 1),
@@ -80,6 +165,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="detector.npz")
+    ap.add_argument("--real_mix", type=float, default=0.35,
+                    help="fraction of scenes compositing REAL face patches "
+                         "(train identities only; 0 reproduces the r3 recipe)")
     args = ap.parse_args()
 
     import jax
@@ -92,9 +180,16 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
+    patches = load_real_patches() if args.real_mix > 0 else []
+    if args.real_mix > 0 and not patches:
+        print("[detector] WARNING: real_mix requested but no photos found",
+              flush=True)
     scenes, boxes, valids = [], [], []
     for _ in range(args.n_data):
-        img, bx, vl = render_scene(rng, args.size)
+        if patches and rng.random() < args.real_mix:
+            img, bx, vl = render_scene_real(rng, args.size, patches)
+        else:
+            img, bx, vl = render_scene(rng, args.size)
         scenes.append(np.clip(img * 255.0, 0, 255).astype(np.uint8))
         boxes.append(bx)
         valids.append(vl)
