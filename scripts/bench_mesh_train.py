@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--recon_steps", type=int, default=2)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--no_remat", action="store_true",
+                    help="disable UNet remat: ~halves the HLO op count the "
+                    "XLA:CPU LLVM codegen must chew (the 125 GB host "
+                    "compile-RAM wall) at the cost of larger runtime "
+                    "activation buffers")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -75,6 +80,9 @@ def main():
     b = n_dev * args.per_dev
     cfg = ModelConfig.sd_v1_inpaint(dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, image_size=args.size)
+    if args.no_remat:
+        cfg = dataclasses.replace(
+            cfg, unet=dataclasses.replace(cfg.unet, use_remat=False))
     model = VFaceModel(cfg)
     print(f"devices={n_dev} batch={b} size={args.size}² latent={cfg.latent_size}²",
           flush=True)
