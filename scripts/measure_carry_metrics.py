@@ -35,6 +35,16 @@ apply_platform_from_env()
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--weights", default=None,
+                    help="npz bundle from scripts/train_synthetic_tiny.py — "
+                    "measure with TRAINED weights instead of perturbed init")
+    ap.add_argument("--size", type=int, default=None,
+                    help="model image size (default 32; trained bundle uses 64)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -43,22 +53,29 @@ def main():
     from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
     from vface_tpu.preprocess.synthetic_faces import render_face, render_pan_sequence
 
-    model = VFaceModel(ModelConfig.tiny(image_size=32))
+    size = args.size or (64 if args.weights else 32)
+    model = VFaceModel(ModelConfig.tiny(image_size=size))
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
-    def perturb(path, x):
-        if not jnp.issubdtype(x.dtype, jnp.floating):
-            return x
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(7), zlib.crc32(jax.tree_util.keystr(path).encode())
-        )
-        return x + 0.03 * jax.random.normal(key, x.shape, x.dtype)
+    if args.weights:
+        from vface_tpu.runtime.checkpoint import load_params_npz
 
-    params = jax.tree_util.tree_map_with_path(perturb, params)
+        params = load_params_npz(args.weights, params)
+        print(f"[carry] loaded trained bundle {args.weights}", flush=True)
+    else:
+        def perturb(path, x):
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                return x
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(7), zlib.crc32(jax.tree_util.keystr(path).encode())
+            )
+            return x + 0.03 * jax.random.normal(key, x.shape, x.dtype)
 
-    hl = model.cfg.latent_size  # 16 → ds1 tokens 256
+        params = jax.tree_util.tree_map_with_path(perturb, params)
+
+    hl = model.cfg.latent_size
     base = SwapOptions(
-        ddim_steps=6, inversion_steps=6, window=4, image_size=32,
+        ddim_steps=6, inversion_steps=6, window=4, image_size=size,
         parser_size=64, flow_tokens=hl * hl,
     )
 
@@ -69,10 +86,21 @@ def main():
     rng = jax.random.PRNGKey(1)
     results = {}
     outs = {}
-    for carry in (False, True):
+    # three variants: FGATS OFF (fft-only injection), FGATS on, FGATS+carry —
+    # the off/on pair measures the flow smoothing itself (the reference's
+    # headline temporal feature), the on/carry pair the cross-window carry
+    for variant in ("no_flow", False, True):
+        carry = variant is True
         import dataclasses
 
         pipe = VideoSwapPipeline(model, dataclasses.replace(base, cross_window_carry=carry))
+        if variant == "no_flow":
+            from vface_tpu.models import InjectionSpec
+            from vface_tpu.ops.attention import FusionConfig
+
+            pipe.injection = InjectionSpec(
+                input_blocks=FusionConfig("fft", split_ratio=base.split_ratio)
+            )
         pipe.raft = RAFT(RAFTConfig(iters=2))
         aux = {
             "bisenet": pipe.bisenet.init(rng, jnp.zeros((1, 64, 64, 3)))["params"],
@@ -82,7 +110,7 @@ def main():
             "landmark": pipe.landmark_net.init(rng, jnp.zeros((1, 32, 32, 3)))["params"],
         }
         out = np.asarray(pipe.swap_video_frames(params, aux, frames, source))
-        outs[carry] = out
+        outs[variant] = out
 
         # warp error vs the KNOWN pan: out[t+1] shifted back by step must
         # match out[t]; restrict to the valid overlap columns
@@ -91,18 +119,24 @@ def main():
         boundary_pairs = [base.window - 1 + k * base.window for k in range((n_frames - 1) // base.window)]
         b_idx = [i for i in boundary_pairs if i < len(pair_err)]
         w_idx = [i for i in range(len(pair_err)) if i not in b_idx]
-        results[carry] = dict(
+        results[variant] = dict(
             warp_all=float(pair_err.mean()),
             warp_boundary=float(pair_err[b_idx].mean()),
             warp_within=float(pair_err[w_idx].mean()),
         )
 
-    print(f"{'carry':>6} | {'warp all':>9} | {'boundary pairs':>14} | {'within-window':>13}")
-    for carry in (False, True):
-        r = results[carry]
+    print(f"{'variant':>8} | {'warp all':>9} | {'boundary pairs':>14} | {'within-window':>13}")
+    for variant in ("no_flow", False, True):
+        r = results[variant]
+        name = {"no_flow": "fgats-off", False: "fgats", True: "carry"}[variant]
         print(
-            f"{str(carry):>6} | {r['warp_all']:9.5f} | {r['warp_boundary']:14.5f} | {r['warp_within']:13.5f}"
+            f"{name:>8} | {r['warp_all']:9.5f} | {r['warp_boundary']:14.5f} | {r['warp_within']:13.5f}"
         )
+    fd = results["no_flow"]["warp_all"] - results[False]["warp_all"]
+    print(
+        f"FGATS warp-error delta (off−on): {fd:+.5f} "
+        f"({100*fd/max(results['no_flow']['warp_all'],1e-9):+.1f}%)"
+    )
     delta = results[False]["warp_boundary"] - results[True]["warp_boundary"]
     print(
         f"boundary warp-error delta (off−on): {delta:+.5f} "
