@@ -66,12 +66,20 @@ def _gelu_erf(x32):
     return 0.5 * x32 * (1.0 + _erf(x32 * 0.7071067811865476))
 
 
-def _ff_kernel(x_ref, wp_ref, bp_ref, wo_ref, bo_ref, o_ref, *, inner):
+def _ff_kernel(x_ref, wpa_ref, wpg_ref, bpa_ref, bpg_ref, wo_ref, bo_ref,
+               o_ref, *, inner):
+    """Split-projection GEGLU body: the GATE matmul runs first so its erf
+    VPU epilogue can overlap the A matmul under Mosaic's scheduler, and the
+    live fp32 intermediate is (tm, inner) instead of (tm, 2·inner).
+    Bit-identical to the single-dot formulation: a dot's output columns are
+    independent, so splitting wp column-wise changes nothing numerically
+    (measured 3.86 → 3.43 ms/layer at ds1; scripts/bench_ff_tile.py)."""
     x = x_ref[...]
-    h32 = jnp.dot(x, wp_ref[...], preferred_element_type=jnp.float32)
-    h = h32.astype(x.dtype) + bp_ref[...]
-    a, gate = h[:, :inner], h[:, inner:]
+    g32 = jnp.dot(x, wpg_ref[...], preferred_element_type=jnp.float32)
+    gate = g32.astype(x.dtype) + bpg_ref[...]
     g = _gelu_erf(gate.astype(jnp.float32)).astype(x.dtype)
+    a32 = jnp.dot(x, wpa_ref[...], preferred_element_type=jnp.float32)
+    a = a32.astype(x.dtype) + bpa_ref[...]
     o32 = jnp.dot(a * g, wo_ref[...], preferred_element_type=jnp.float32)
     o_ref[...] = o32.astype(x.dtype) + bo_ref[...]
 
@@ -80,12 +88,12 @@ def _pallas_impl(x2, wp, bp, wo, bo, interpret, tm=None):
     m, c = x2.shape
     two_i = wp.shape[1]
     inner = two_i // 2
-    # VMEM budget: weights (c·2i + i·c bf16) + h32 (tm·2i fp32) + tiles.
-    # tm=128 measured best at BOTH live shapes (scripts/bench_ff_tile.py:
-    # C=320 3.88 vs 4.02 @512; C=640 3.01 vs 3.10 @256) — smaller tiles
-    # give Mosaic more grid steps to overlap DMA under the sequential
-    # matmul→erf→matmul body.
-    tm = tm or 128
+    # Tile size per live shape (scripts/bench_ff_tile.py round-4 sweep on
+    # the split kernel): ds1 (C=320) best at tm=256 (3.43 ms/layer), ds2
+    # (C=640) best at tm=128 (2.71).
+    tm = tm or (256 if c <= 320 else 128)
+    wpa, wpg = wp[:, :inner], wp[:, inner:]
+    bpa, bpg = bp[:inner].reshape(1, -1), bp[inner:].reshape(1, -1)
     pad = (-m) % tm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -94,15 +102,17 @@ def _pallas_impl(x2, wp, bp, wo, bo, interpret, tm=None):
         grid=(x2.shape[0] // tm,),
         in_specs=[
             pl.BlockSpec((tm, c), lambda i: (i, 0)),
-            pl.BlockSpec((c, two_i), lambda i: (0, 0)),
-            pl.BlockSpec((1, two_i), lambda i: (0, 0)),
+            pl.BlockSpec((c, inner), lambda i: (0, 0)),
+            pl.BlockSpec((c, inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
             pl.BlockSpec((inner, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tm, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
         interpret=interpret,
-    )(x2, wp, bp.reshape(1, -1), wo, bo.reshape(1, -1))
+    )(x2, wpa, wpg, bpa, bpg, wo, bo.reshape(1, -1))
     return out[:m]
 
 
