@@ -76,3 +76,23 @@ def test_feedforward_param_tree_compatible():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_wide_kernel_matches_reference():
+    """Inner-blocked wide kernel (ds4: C>768) == the XLA reference to
+    k-split reassociation error (fp32 partial-sum accumulation)."""
+    from vface_tpu.ops.pallas_ff import _pallas_impl_wide, _ref_impl
+
+    rng = np.random.default_rng(5)
+    m, c = 160, 1024  # wide-C shape; inner=4096, 8 inner blocks of 512
+    x = jnp.asarray(rng.normal(size=(m, c)) * 0.1, jnp.bfloat16)
+    wp = jnp.asarray(rng.normal(size=(c, 8 * c)) * 0.02, jnp.bfloat16)
+    bp = jnp.asarray(rng.normal(size=(8 * c,)) * 0.01, jnp.bfloat16)
+    wo = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.02, jnp.bfloat16)
+    bo = jnp.asarray(rng.normal(size=(c,)) * 0.01, jnp.bfloat16)
+    got = _pallas_impl_wide(x, wp, bp, wo, bo, True)
+    ref = _ref_impl(x, wp, bp, wo, bo)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.03, atol=0.03,
+    )

@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _on_tpu() -> bool:
@@ -116,6 +117,74 @@ def _pallas_impl(x2, wp, bp, wo, bo, interpret, tm=None):
     return out[:m]
 
 
+def _ff_kernel_wide(x_ref, wpa_ref, wpg_ref, bpa_ref, bpg_ref, wo_ref, bo_ref,
+                    o_ref, acc_scr, *, n_ib):
+    """Inner-blocked GEGLU body for WIDE sites (ds4: C=1280, 2·inner=10240 —
+    the full weights cannot sit in VMEM). Grid (m_tiles, inner_blocks),
+    sequential over inner blocks accumulating the second dot into an fp32
+    scratch: per step only (C, ib)-sized weight slices are resident
+    (~4 MB at ib=512). GEGLU is elementwise along inner, so blocking inner
+    is exact; the output accumulation reassociates the contraction like any
+    k-split dot (fp32 partial sums).
+
+    MEASURED DEAD END at the only wide production site (ds4: M=6144,
+    C=1280): 2.53 ms/layer at its best tiling (tm=256) vs 2.20 unfused —
+    the small token count means per-m-tile weight re-streaming outweighs
+    the saved intermediate round-trip (larger tm fails Mosaic compile).
+    Kept (with its interpret-mode test) as the recorded experiment; wide
+    sites route to the XLA path below."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[...]
+    g32 = jnp.dot(x, wpg_ref[...], preferred_element_type=jnp.float32)
+    gate = g32.astype(x.dtype) + bpg_ref[...]
+    g = _gelu_erf(gate.astype(jnp.float32)).astype(x.dtype)
+    a32 = jnp.dot(x, wpa_ref[...], preferred_element_type=jnp.float32)
+    a = a32.astype(x.dtype) + bpa_ref[...]
+    acc_scr[...] += jnp.dot(a * g, wo_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_ib - 1)
+    def _():
+        o_ref[...] = acc_scr[...].astype(o_ref.dtype) + bo_ref[...]
+
+
+def _pallas_impl_wide(x2, wp, bp, wo, bo, interpret, tm=128, ib=512):
+    m, c = x2.shape
+    two_i = wp.shape[1]
+    inner = two_i // 2
+    wpa, wpg = wp[:, :inner], wp[:, inner:]
+    bpa, bpg = bp[:inner].reshape(1, -1), bp[inner:].reshape(1, -1)
+    pad = (-m) % tm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    n_ib = inner // ib
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel_wide, n_ib=n_ib),
+        grid=(x2.shape[0] // tm, n_ib),
+        in_specs=[
+            pl.BlockSpec((tm, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, ib), lambda i, j: (0, j)),
+            pl.BlockSpec((c, ib), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ib), lambda i, j: (0, j)),
+            pl.BlockSpec((1, ib), lambda i, j: (0, j)),
+            pl.BlockSpec((ib, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x2.shape[0], c), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, wpa, wpg, bpa, bpg, wo, bo.reshape(1, -1))
+    return out[:m]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _geglu_ff(x2, wp, bp, wo, bo, interpret):
     return _pallas_impl(x2, wp, bp, wo, bo, interpret)
@@ -144,13 +213,10 @@ def geglu_ff(x, wp, bp, wo, bo, *, interpret: bool = False):
     if not (interpret or _on_tpu()):
         return _ref_impl(x, wp, bp, wo, bo)
     if x.shape[-1] > 768 and not interpret:
-        # Wide sites (ds4: C=1280 → 2·inner=10240) put ~39 MB of weight
-        # blocks + a (tm, 2·inner) fp32 accumulator on the kernel's scoped
-        # VMEM stack — over the 16 MB scoped limit inside the window program
-        # (v5e Mosaic stack OOM at in_2_0_attn, b=24). Those sites also have
-        # 16x fewer tokens than ds1, so the HBM round-trip the kernel saves
-        # is negligible there; the measured win (19 → ~7 ms of the ds1 FF
-        # stack, scripts/bench_ff_micro.py) is entirely at C ≤ 640.
+        # Wide sites (ds4: C=1280): the resident-weight kernel cannot fit
+        # VMEM and the inner-blocked variant (_pallas_impl_wide) measured
+        # SLOWER than XLA at the small ds4 token count (2.53 vs 2.20
+        # ms/layer — see its docstring). XLA keeps these sites.
         return _ref_impl(x, wp, bp, wo, bo)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
