@@ -120,6 +120,20 @@ def test_frame_sharded_sampling_matches_unsharded(tiny_bundle):
     assert got.sharding.spec == P("data")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    # window packing: a zeroed pair mask entry (two independent windows in
+    # one batch) must match the unsharded path with the same mask
+    pm = jnp.ones((f - 1,)).at[f // 2 - 1].set(0.0)
+    ref_pm, _ = vface_sample(
+        model, params, x_T, cond, uncond, cond,
+        jnp.zeros((1,) + x_T.shape), inpaint, maskl, spec,
+        flow=flow, num_steps=2, drop_recon_chunk=True, flow_pair_mask=pm,
+    )
+    got_pm = vface_sample_frame_sharded(
+        model, params, x_T, cond, uncond, cond, inpaint, maskl, spec,
+        flow=flow, mesh=mesh, num_steps=2, flow_pair_mask=pm,
+    )
+    np.testing.assert_allclose(np.asarray(got_pm), np.asarray(ref_pm), atol=2e-5)
+
 
 def test_swap_windows_batched_sharded(tiny_bundle):
     """W independent windows sharded over the 8-device data axis."""
