@@ -177,6 +177,21 @@ def main():
             source01 = np.asarray(
                 Image.open(pair["source"]).convert("RGB"), np.float32
             ) / 255.0
+            # precomputed-mask mode (reference crop_and_mask → mask dirs,
+            # video_swap_dataset.py:86-409): `masks:` = dir of {i}.png parse
+            # maps per frame → the in-pipeline BiSeNet parse is skipped
+            frame_keep = None
+            if pair.get("masks"):
+                from vface_tpu.data.datasets import _load_mask
+                from vface_tpu.preprocess.masks import TRAIN_REMOVE, region_mask
+
+                m = np.stack([
+                    _load_mask(os.path.join(pair["masks"], f"{i}.png"),
+                               opts.image_size)
+                    for i in range(len(frames01))
+                ])
+                face = np.asarray(region_mask(jnp.asarray(m), TRAIN_REMOVE))
+                frame_keep = (1.0 - face)[..., None].astype(np.float32)
             if mesh is not None:
                 swapped = pipe.swap_video_frames_sharded(
                     params, aux_params, frames01, source01, mesh,
@@ -186,6 +201,7 @@ def main():
                 swapped = pipe.swap_video_frames(
                     params, aux_params, frames01, source01,
                     manifest=manifest, window_sink=window_sink,
+                    frame_keep=frame_keep,
                 )
             u8 = (np.clip(swapped, 0, 1) * 255).astype(np.uint8)
             # audio passthrough (reference muxes the source audio,

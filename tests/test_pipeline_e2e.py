@@ -308,3 +308,31 @@ def test_batched_windows_match_separate(pipeline):
     pipe3.raft = pipe.raft
     leaky = pipe3.swap_video_frames(params, aux_params, frames, source)
     assert np.abs(np.asarray(leaky) - seq).max() > 1e-6
+
+
+def test_precomputed_keep_masks_override_parser(pipeline):
+    """frame_keep/source_keep (the reference's precomputed-mask mode,
+    video_swap_dataset.py:86-409) must (a) bypass BiSeNet entirely — no
+    "bisenet" aux needed — and (b) reproduce the parser path bit-exactly
+    when fed the masks the parser would produce."""
+    from vface_tpu.preprocess.masks import TRAIN_REMOVE, inpaint_inputs
+
+    pipe, params, aux_params = pipeline
+    frames = np.random.default_rng(0).uniform(size=(3, 32, 32, 3)).astype(np.float32)
+    source = np.random.default_rng(1).uniform(size=(32, 32, 3)).astype(np.float32)
+
+    # the masks the parser path would compute, reproduced outside
+    crops01, _ = pipe.align_crops(aux_params, jnp.asarray(frames))
+    seg = pipe.parse_masks(aux_params, crops01)
+    _, keep = inpaint_inputs(crops01 * 2 - 1, seg, TRAIN_REMOVE)
+    src_crop01, _ = pipe.align_crops(aux_params, jnp.asarray(source)[None])
+    src_seg = pipe.parse_masks(aux_params, src_crop01)
+    _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, TRAIN_REMOVE)
+
+    ref = pipe.swap_video_frames(params, aux_params, frames, source)
+    aux_no_parser = {k: v for k, v in aux_params.items() if k != "bisenet"}
+    got = pipe.swap_video_frames(
+        params, aux_no_parser, frames, source,
+        frame_keep=np.asarray(keep), source_keep=np.asarray(src_keep)[0],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

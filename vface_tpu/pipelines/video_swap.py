@@ -1014,6 +1014,19 @@ class VideoSwapPipeline:
         _flush_pending()
         return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
 
+    @staticmethod
+    def _coerce_keep(keep, crops_shape) -> jax.Array:
+        """Precomputed keep masks → (N, S, S, 1) float at the crop size."""
+        keep = jnp.asarray(keep, jnp.float32)
+        if keep.ndim == 3:
+            keep = keep[..., None]
+        n, s = crops_shape[0], crops_shape[1]
+        if keep.shape[1] != s or keep.shape[2] != s:
+            keep = jax.image.resize(keep, (keep.shape[0], s, s, 1), "bilinear")
+        if keep.shape[0] != n:
+            raise ValueError(f"frame_keep has {keep.shape[0]} masks for {n} frames")
+        return keep
+
     def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
         """The background-consistency trick (:611-623): encode+decode the
         original frame so pasted backgrounds share the VAE's color response."""
@@ -1032,11 +1045,21 @@ class VideoSwapPipeline:
         manifest=None,
         window_sink=None,
         frame_landmarks=None,
+        frame_keep=None,
+        source_keep=None,
     ) -> np.ndarray:
         """Host orchestration: align → parse → window loop → paste-back.
 
         frames01 (N, H, W, 3) float [0,1]; source01 (H, W, 3).
         Returns swapped full frames (N, H, W, 3) in [0,1].
+
+        ``frame_keep`` / ``source_keep``: PRECOMPUTED keep masks (1 =
+        background kept) in crop space, (N, S, S, 1) / (S, S, 1) — the
+        reference's precomputed-mask mode (`crop_and_mask` writes mask dirs
+        that `video_swap_dataset.py:86-409` loads instead of re-parsing;
+        our `data.datasets.VideoDataset` yields them as ``inpaint_mask``).
+        When given, the BiSeNet parse of that side is skipped entirely — no
+        "bisenet" aux params needed.
         """
         from vface_tpu.preprocess.masks import TRAIN_REMOVE
 
@@ -1046,13 +1069,21 @@ class VideoSwapPipeline:
         n = frames01.shape[0]
 
         crops01, inv_coeffs = self.align_crops(aux_params, frames01, landmarks=frame_landmarks)
-        seg = self.parse_masks(aux_params, crops01)
-        _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
+        if frame_keep is not None:
+            keep_mask = self._coerce_keep(frame_keep, crops01.shape)
+        else:
+            seg = self.parse_masks(aux_params, crops01)
+            _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
 
         src = jnp.asarray(source01)[None]
         src_crop01, _ = self.align_crops(aux_params, src)
-        src_seg = self.parse_masks(aux_params, src_crop01)
-        _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
+        if source_keep is not None:
+            src_keep = self._coerce_keep(
+                jnp.asarray(source_keep)[None], src_crop01.shape
+            )
+        else:
+            src_seg = self.parse_masks(aux_params, src_crop01)
+            _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
         # masked CLIP-normalised source reference (:314-356)
         src_face_only = src_crop01 * (1.0 - src_keep)
         src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
