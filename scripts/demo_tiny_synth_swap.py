@@ -61,9 +61,24 @@ def main():
         "landmark": pipe.landmark_net.init(rng, jnp.zeros((1, size, size, 3)))["params"],
     }
 
-    frames, _ = render_pan_sequence(np.random.default_rng(11), 8, 64, step_px=1.5)
-    source, _ = render_face(np.random.default_rng(12), 64)
-    out = np.asarray(pipe.swap_video_frames(params, aux, frames, source))
+    frames, lms = render_pan_sequence(np.random.default_rng(11), 8, 64, step_px=1.5)
+    source, src_lm = render_face(np.random.default_rng(12), 64)
+
+    # ground-truth geometry from the renderer: landmarks drive the align
+    # quads, landmark-hull keep masks ride the precomputed-mask mode (the
+    # parser/landmark nets have no trained tiny weights in this bundle)
+    sys.path.insert(0, os.path.dirname(__file__))
+    from train_synthetic_tiny import face_hull_mask
+
+    # crops are near-identity at 64² (frames are already face-centered);
+    # hull masks computed in frame space serve as crop-space masks
+    frame_keep = np.stack([face_hull_mask(l, 64)[..., None] for l in lms])
+    src_keep = face_hull_mask(src_lm, 64)[..., None]
+    out = np.asarray(pipe.swap_video_frames(
+        params, aux, frames, source,
+        frame_landmarks=jnp.asarray(lms), frame_keep=frame_keep,
+        source_keep=src_keep,
+    ))
 
     from PIL import Image
 
