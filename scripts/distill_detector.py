@@ -108,7 +108,7 @@ def render_scene_real(rng: np.random.Generator, size: int, patches,
         p = patch
         if rng.random() < 0.5:
             p = p[:, ::-1]
-            cx = p.shape[1] - cx
+            cx = p.shape[1] - 1 - cx
         p = np.asarray(
             Image.fromarray((p * 255).astype(np.uint8)).resize(
                 (side, side), Image.BILINEAR

@@ -196,6 +196,7 @@ def main():
                 swapped = pipe.swap_video_frames_sharded(
                     params, aux_params, frames01, source01, mesh,
                     manifest=manifest, window_sink=window_sink,
+                    frame_keep=frame_keep,
                 )
             else:
                 swapped = pipe.swap_video_frames(

@@ -336,3 +336,14 @@ def test_precomputed_keep_masks_override_parser(pipeline):
         frame_keep=np.asarray(keep), source_keep=np.asarray(src_keep)[0],
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # the multi-chip path honours the same contract (ADVICE r4: masks were
+    # silently dropped on --mesh runs)
+    from vface_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    got_mesh = pipe.swap_video_frames_sharded(
+        params, aux_no_parser, frames, source, mesh,
+        frame_keep=np.asarray(keep), source_keep=np.asarray(src_keep)[0],
+    )
+    np.testing.assert_allclose(np.asarray(got_mesh), np.asarray(ref), atol=1e-5)

@@ -826,12 +826,17 @@ class VideoSwapPipeline:
         remove_classes=None,
         manifest=None,
         window_sink=None,
+        frame_keep=None,
+        source_keep=None,
     ) -> np.ndarray:
         """Multi-chip variant of :meth:`swap_video_frames`: full windows are
         stacked and sharded over the mesh's ``data`` axis (W per round = mesh
         size, padded by repeating the last window), the trailing short window
         (if any) runs through the sequential single-window path. Outputs are
         identical to the sequential loop — windows are independent.
+
+        ``frame_keep`` / ``source_keep`` follow :meth:`swap_video_frames`'s
+        precomputed-mask contract (skip the BiSeNet parse of that side).
         """
         from vface_tpu.preprocess.masks import TRAIN_REMOVE
 
@@ -843,13 +848,23 @@ class VideoSwapPipeline:
         n_full = n // w
 
         crops01, inv_coeffs = self.align_crops(aux_params, frames01)
-        seg = self.parse_masks(aux_params, crops01)
-        _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
+        if frame_keep is not None:
+            keep_mask = self._coerce_keep(frame_keep, crops01.shape)
+        else:
+            seg = self.parse_masks(aux_params, crops01)
+            _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
 
         src = jnp.asarray(source01)[None]
         src_crop01, _ = self.align_crops(aux_params, src)
-        src_seg = self.parse_masks(aux_params, src_crop01)
-        _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
+        if source_keep is not None:
+            src_keep = self._coerce_keep(
+                jnp.asarray(source_keep)[None], src_crop01.shape
+            )
+        else:
+            src_seg = self.parse_masks(aux_params, src_crop01)
+            _, src_keep = inpaint_inputs(
+                src_crop01 * 2 - 1, src_seg, remove_classes
+            )
         src_face_only = src_crop01 * (1.0 - src_keep)
         src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
         src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
@@ -1022,7 +1037,10 @@ class VideoSwapPipeline:
             keep = keep[..., None]
         n, s = crops_shape[0], crops_shape[1]
         if keep.shape[1] != s or keep.shape[2] != s:
-            keep = jax.image.resize(keep, (keep.shape[0], s, s, 1), "bilinear")
+            # nearest, not bilinear: keep masks are binary and the parser
+            # path / reference dataset resize masks with nearest — bilinear
+            # would leave fractional edge values (ADVICE r4)
+            keep = jax.image.resize(keep, (keep.shape[0], s, s, 1), "nearest")
         if keep.shape[0] != n:
             raise ValueError(f"frame_keep has {keep.shape[0]} masks for {n} frames")
         return keep
