@@ -919,3 +919,145 @@ def test_raft_parity():
     np.testing.assert_allclose(
         np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), atol=2e-3, rtol=1e-2
     )
+
+
+# ---------------------------------------------------------- CLIP text embedder
+
+
+def test_clip_text_tower_parity():
+    """HF CLIPTextModel (the reference's FrozenCLIPTextEmbedder transformer,
+    modules.py:178-207) vs CLIPTextTower through convert_clip_text_encoder:
+    last_hidden_state, EOS-pooled output, and text_projection — with a padded
+    batch exercising the causal + padding attention masks."""
+    transformers = pytest.importorskip("transformers")
+
+    from vface_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from vface_tpu.utils.sd_convert import convert_clip_text_encoder
+
+    cfg = CLIPTextConfig.tiny()
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.width,
+        intermediate_size=cfg.width * cfg.mlp_ratio,
+        num_hidden_layers=cfg.layers,
+        num_attention_heads=cfg.heads,
+        max_position_embeddings=cfg.max_length,
+        projection_dim=cfg.projection_dim,
+        eos_token_id=cfg.eos_token_id,
+        bos_token_id=cfg.eos_token_id - 1,
+        pad_token_id=cfg.eos_token_id,
+    )
+    hf = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+    perturb_(hf, seed=60, scale=0.02)
+    sd = hf.state_dict()
+
+    # tokenizer-style rows: bos, payload, eos, eos-padding (row 1 shorter)
+    bos, eos = cfg.eos_token_id - 1, cfg.eos_token_id
+    rng = np.random.default_rng(7)
+    L = 10
+    ids = np.full((2, L), eos, np.int64)
+    mask = np.zeros((2, L), np.int64)
+    for r, n_payload in enumerate((L - 2, 5)):
+        ids[r, 0] = bos
+        ids[r, 1 : 1 + n_payload] = rng.integers(0, bos, n_payload)
+        ids[r, 1 + n_payload] = eos
+        mask[r, : n_payload + 2] = 1
+
+    with torch.no_grad():
+        out = hf(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        )
+        hidden_ref = out.last_hidden_state.numpy()
+        proj_ref = out.text_embeds.numpy()
+        pooled_ref = hf.text_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).pooler_output.numpy()
+
+    ours = CLIPTextEncoder(cfg)
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, L), jnp.int32))["params"]
+    params = convert_clip_text_encoder(sd, layers=cfg.layers)
+    assert_tree_complete(params, init)
+    hidden, pooled, proj = ours.apply(
+        {"params": to_jax_tree(params)}, jnp.asarray(ids), pad_mask=jnp.asarray(mask)
+    )
+    # padded positions attend through garbage keys upstream of masking in HF
+    # too (they're masked as KEYS, not queries) — compare real positions only
+    np.testing.assert_allclose(np.asarray(hidden), hidden_ref, atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled), pooled_ref, atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(proj), proj_ref, atol=2e-4, rtol=2e-3)
+
+
+def test_clip_tokenizer_parity():
+    """Our from-spec BPE vs HF CLIPTokenizer instantiated from the SAME
+    synthetic vocab/merges files (network-free): token strings, ids, padding
+    and attention masks must match on cleaning/merge/specials edge cases."""
+    transformers = pytest.importorskip("transformers")
+    import json as _json
+    import tempfile, os
+
+    from vface_tpu.models.clip_tokenizer import BOS, EOS, CLIPBPETokenizer, byte_alphabet
+
+    # synthetic vocab: full byte alphabet (+</w> forms), a few merged tokens
+    # mirroring real CLIP structure, then bos/eos at the end (as in the real
+    # vocab ordering)
+    alpha = list(byte_alphabet().values())
+    merges = [
+        ("h", "e"), ("l", "l"), ("o</w>", ""), ("he", "ll"),
+        ("o", "</w>"), ("hell", "o</w>"), ("w", "o"), ("r", "l"),
+        ("d", "</w>"), ("wo", "rl"), ("worl", "d</w>"), ("'", "s</w>"),
+        ("s", "</w>"), ("a", "</w>"), ("t", "h"), ("th", "e</w>"),
+        ("e", "</w>"), ("1", "</w>"), ("!", "</w>"),
+    ]
+    merges = [m for m in merges if "" not in m]
+    vocab = {}
+    for tok in alpha + [t + "</w>" for t in alpha]:
+        vocab.setdefault(tok, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    vocab[BOS] = len(vocab)
+    vocab[EOS] = len(vocab)
+
+    with tempfile.TemporaryDirectory() as d:
+        vp, mp = os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+        with open(vp, "w") as f:
+            _json.dump(vocab, f)
+        with open(mp, "w") as f:
+            f.write("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+        hf = transformers.CLIPTokenizer(vp, mp)
+        ours = CLIPBPETokenizer.from_files(vp, mp)
+
+        cases = [
+            "hello world",
+            "Hello,  WORLD!!",          # lowercase + whitespace collapse + punct run
+            "the cat's hello",          # 's contraction split
+            "a1 the\tworld\n",          # digit split, control whitespace
+            "héllo 中文 test",           # accents (kept), CJK spacing
+            "<|startoftext|> hi",       # special token passthrough
+            "",
+        ]
+        got = ours(cases, padding=True)
+        ref = hf(cases, padding=True, return_tensors="np")
+        for c in cases:
+            assert ours.tokenize(c) == hf.tokenize(c), c
+        np.testing.assert_array_equal(got["input_ids"], ref["input_ids"])
+        np.testing.assert_array_equal(got["attention_mask"], ref["attention_mask"])
+
+
+def test_clip_similarity_logits():
+    """forward_probabilities semantics (modules.py:266-281): normalised
+    cosine logits scaled by exp(logit_scale), torch-checked inline."""
+    from vface_tpu.models.clip import clip_similarity_logits
+
+    rng = np.random.default_rng(3)
+    t = rng.normal(size=(3, 8)).astype(np.float32)
+    v = rng.normal(size=(2, 8)).astype(np.float32)
+    scale = 2.3
+    tt, tv = torch.from_numpy(t), torch.from_numpy(v)
+    ref = (
+        float(np.exp(scale))
+        * (tv / tv.norm(dim=-1, keepdim=True)) @ (tt / tt.norm(dim=-1, keepdim=True)).T
+    ).numpy()
+    got = clip_similarity_logits(jnp.asarray(t), jnp.asarray(v), jnp.float32(scale))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)

@@ -60,12 +60,12 @@ class MHA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bias=None):
         d = nn.Dense
         q = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="q")(x)
         k = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
         v = d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="v")(x)
-        o = multi_head_attention(q, k, v, self.heads, dtype=self.dtype)
+        o = multi_head_attention(q, k, v, self.heads, dtype=self.dtype, bias=bias)
         return d(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out")(o)
 
 
@@ -76,9 +76,9 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bias=None):
         h = LayerNormF32(dtype=self.dtype, name="ln1")(x)
-        x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(h)
+        x = x + MHA(self.width, self.heads, dtype=self.dtype, name="attn")(h, bias=bias)
         h = LayerNormF32(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.width * self.mlp_ratio, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(h)
         h = quick_gelu(h)
@@ -173,6 +173,96 @@ def clip_preprocess(images01: jax.Array, size: int = 224) -> jax.Array:
     mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=x.dtype)
     std = jnp.asarray(CLIP_IMAGE_STD, dtype=x.dtype)
     return (x - mean) / std
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """HF ``CLIPTextModel`` geometry (ViT-L/14 text tower defaults)."""
+
+    vocab_size: int = 49408
+    max_length: int = 77
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    projection_dim: int = 768
+    eos_token_id: int = 49407
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls):
+        return cls(vocab_size=64, max_length=16, width=32, layers=2, heads=2,
+                   projection_dim=24, eos_token_id=63)
+
+
+class CLIPTextTower(nn.Module):
+    """HF ``CLIPTextModel`` semantics — the reference's text-prompt embedder
+    (``FrozenCLIPTextEmbedder``, `/root/reference/REFace/ldm/modules/encoders/
+    modules.py:178-207`; experiments-only there: the active configs never
+    enable it, ddpm.py:751 keeps it commented out).
+
+    token + position embeddings → causally-masked pre-LN transformer →
+    final LN. Returns ``(last_hidden_state, pooled)`` where ``pooled`` is the
+    final-LN hidden state at each row's FIRST EOS token (HF's pooling rule;
+    with EOS doubling as the pad token, ``argmax(ids == eos)`` finds it).
+
+    ``pad_mask``: optional (B, L) 1/0 array marking real tokens (the HF
+    ``attention_mask`` the tokenizer emits under ``padding=True``); padded
+    keys are masked out of every attention row.
+    """
+
+    cfg: CLIPTextConfig = CLIPTextConfig()
+
+    @nn.compact
+    def __call__(self, ids, pad_mask=None):
+        cfg = self.cfg
+        b, n = ids.shape
+        tok = self.param(
+            "token_embedding", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.width)
+        )
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02), (cfg.max_length, cfg.width)
+        )
+        x = tok[ids].astype(cfg.dtype) + pos[:n].astype(cfg.dtype)[None]
+        neg = jnp.float32(-1e9)
+        causal = jnp.where(
+            jnp.arange(n)[:, None] >= jnp.arange(n)[None, :], 0.0, neg
+        )[None, None]  # (1, 1, L, L)
+        if pad_mask is not None:
+            causal = causal + jnp.where(pad_mask > 0, 0.0, neg)[:, None, None, :]
+        for i in range(cfg.layers):
+            x = EncoderLayer(cfg.width, cfg.heads, cfg.mlp_ratio, dtype=cfg.dtype,
+                             name=f"layer_{i}")(x, bias=causal)
+        x = LayerNormF32(dtype=cfg.dtype, name="final_ln")(x)
+        eos_pos = jnp.argmax((ids == cfg.eos_token_id).astype(jnp.int32), axis=1)
+        pooled = x[jnp.arange(b), eos_pos]
+        return x.astype(jnp.float32), pooled.astype(jnp.float32)
+
+
+class CLIPTextEncoder(nn.Module):
+    """``FrozenCLIPTextEmbedder`` equivalent plus the ``text_projection`` /
+    ``logit_scale`` pieces ``forward_probabilities`` needs (modules.py:266-281):
+    pooled EOS state → bias-free projection to the shared CLIP space."""
+
+    cfg: CLIPTextConfig = CLIPTextConfig()
+
+    @nn.compact
+    def __call__(self, ids, pad_mask=None):
+        cfg = self.cfg
+        hidden, pooled = CLIPTextTower(cfg, name="text")(ids, pad_mask=pad_mask)
+        proj = nn.Dense(cfg.projection_dim, use_bias=False, dtype=cfg.dtype,
+                        param_dtype=jnp.float32, name="text_projection")(
+                            pooled.astype(cfg.dtype))
+        return hidden, pooled, proj.astype(jnp.float32)
+
+
+def clip_similarity_logits(text_embeds, image_embeds, logit_scale):
+    """Cosine-similarity logits (modules.py:266-281 ``forward_probabilities``):
+    L2-normalise both projected embedding sets, scale by exp(logit_scale).
+    Returns logits_per_image (B_img, B_txt)."""
+    t = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
+    v = image_embeds / jnp.linalg.norm(image_embeds, axis=-1, keepdims=True)
+    return jnp.exp(logit_scale) * (v @ t.T)
 
 
 class CLIPImageEmbedderLegacy(nn.Module):

@@ -251,13 +251,15 @@ def fuse_qkv(
 
 
 def multi_head_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, dtype=jnp.float32
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, dtype=jnp.float32,
+    bias: jax.Array | None = None,
 ):
     """Standard softmax attention over (B, N, D) with D = num_heads * d_head.
 
     Expressed as batched einsums; XLA fuses scale+softmax and tiles the matmuls
     onto the MXU. The softmax runs in float32 for stability regardless of the
-    compute dtype.
+    compute dtype. ``bias``: optional additive fp32 logit bias broadcastable to
+    (B, H, Nq, Nk) — used for causal/padding masks (e.g. the CLIP text tower).
     """
     b, nq, d = q.shape
     nk = k.shape[1]
@@ -268,6 +270,9 @@ def multi_head_attention(
     kh = k.reshape(b, nk, h, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(b, nk, h, dh).transpose(0, 2, 1, 3)
     sim = jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(sim.astype(jnp.float32) * scale, axis=-1).astype(dtype)
+    sim = sim.astype(jnp.float32) * scale
+    if bias is not None:
+        sim = sim + bias.astype(jnp.float32)
+    attn = jax.nn.softmax(sim, axis=-1).astype(dtype)
     out = jnp.einsum("bhij,bhjd->bhid", attn, vh, preferred_element_type=jnp.float32)
     return out.astype(dtype).transpose(0, 2, 1, 3).reshape(b, nq, d)
