@@ -70,6 +70,14 @@ def main():
         "(swap_windows_batched; 0 = sequential single-device loop)",
     )
     ap.add_argument(
+        "--mesh_frames", type=int, default=0,
+        help="LATENCY path: shard each window's frames over an N-device mesh "
+        "(flow-on FGATS via the ppermute halo, parallel/frame_sharded.py). "
+        "Use when chips >= windows. Eligibility: recon-free operating point, "
+        "no --cross_window_carry, --batch_windows 1, window divisible by N. "
+        "Mutually exclusive with --mesh_data",
+    )
+    ap.add_argument(
         "--batch_windows", type=int, default=1,
         help="pack N consecutive windows into one device program (bit-equal "
         "to separate windows via boundary-masked FGATS; higher throughput)",
@@ -134,11 +142,17 @@ def main():
         if lm_params is not None:
             aux_params["landmark"] = lm_params
 
-    mesh = None
+    mesh = frame_mesh = None
+    if args.mesh_data and args.mesh_frames:
+        ap.error("--mesh_data and --mesh_frames are mutually exclusive")
     if args.mesh_data:
         from vface_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh_data)
+    elif args.mesh_frames:
+        from vface_tpu.parallel.mesh import make_mesh
+
+        frame_mesh = make_mesh(n_data=args.mesh_frames)
 
     pairs = load_yaml(args.config)
     os.makedirs(args.outdir, exist_ok=True)
@@ -197,6 +211,15 @@ def main():
                     params, aux_params, frames01, source01, mesh,
                     manifest=manifest, window_sink=window_sink,
                     frame_keep=frame_keep,
+                )
+            elif frame_mesh is not None:
+                if frame_keep is not None:
+                    raise ValueError(
+                        "--mesh_frames does not support precomputed masks: "
+                        "drop the pair's `masks:` key or use --mesh_data"
+                    )
+                swapped = pipe.swap_video_frames_frame_sharded(
+                    params, aux_params, frames01, source01, frame_mesh,
                 )
             else:
                 swapped = pipe.swap_video_frames(

@@ -154,6 +154,48 @@ def test_sharded_windows_match_sequential(pipeline):
     np.testing.assert_allclose(shd, seq, atol=1e-5)
 
 
+def test_frame_sharded_video_matches_sequential(pipeline):
+    """swap_video_frames_frame_sharded (the --mesh_frames LATENCY path: one
+    window at a time, frames sharded over the mesh, FGATS flow crossing shard
+    boundaries via the ppermute halo) equals the sequential loop, including
+    the trailing short window's sequential fallback; ineligible operating
+    points are rejected loudly."""
+    import dataclasses as dc
+
+    from vface_tpu.parallel.mesh import make_mesh
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    # 7 frames: one full 4-frame window (sharded 2-way) + 3-frame remainder
+    opts = dc.replace(pipe.opts, window=4,
+                      flow_tokens=pipe.model.cfg.latent_size ** 2)
+    pipe1 = VideoSwapPipeline(pipe.model, opts)
+    pipe1.raft = pipe.raft
+    frames = np.random.default_rng(50).uniform(0, 1, (7, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(51).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    seq = pipe1.swap_video_frames(params, aux_params, frames, source)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    shd = pipe1.swap_video_frames_frame_sharded(
+        params, aux_params, frames, source, mesh
+    )
+    np.testing.assert_allclose(shd, seq, atol=2e-5)
+
+    # eligibility gates (documented in the method docstring)
+    for bad in (
+        dc.replace(opts, keep_recon_chunk=True),
+        dc.replace(opts, cross_window_carry=True),
+        dc.replace(opts, batch_windows=2),
+        dc.replace(opts, encoder_interval=2),
+        dc.replace(opts, window=3),  # not divisible by mesh size 2
+    ):
+        pipe_bad = VideoSwapPipeline(pipe.model, bad)
+        pipe_bad.raft = pipe.raft
+        with pytest.raises(ValueError):
+            pipe_bad.swap_video_frames_frame_sharded(
+                params, aux_params, frames, source, mesh
+            )
+
+
 def test_cross_window_fgats_carry(tiny_bundle):
     """Cross-window FGATS carry (beyond the reference): with the carry on,
     window 0's frames are unchanged (no predecessor), window 1's change (its

@@ -178,6 +178,8 @@ class VideoSwapPipeline:
         # aux stages are jitted too: on the tunneled backend every eager op is
         # a round trip, and the unjitted CLIP/RAFT aux paths measured 14.4 s /
         # 3.5 s per window of pure dispatch overhead (scripts/bench_e2e_phases)
+        # frame-sharded epilogue (swap_video_frames_frame_sharded)
+        self._fs_post_jit = jax.jit(self._fs_post_impl)
         self._lm_jit = jax.jit(
             lambda a, x: self.landmark_net.apply({"params": a["landmark"]}, x)
         )
@@ -923,6 +925,137 @@ class VideoSwapPipeline:
                 params, c, km, cond, uncond, inv_c, c_src, src_crop, src_keep, flow
             )
             finish(s0, swapped, rem)
+        return out
+
+    def _fs_post_impl(self, params, z0, frames01_w, inv_coeffs_w, keep_mask):
+        """Frame-sharded epilogue: decode + background trick + paste-back
+        (all frame-local, so the program partitions data-parallel over the
+        mesh when its inputs are frame-sharded)."""
+        out = self.model.decode_first_stage(params, z0)
+        out01 = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+        bg = self.decode_with_background(params, frames01_w * 2.0 - 1.0)
+        return paste_back(bg, out01, inv_coeffs_w, 1.0 - keep_mask)
+
+    def swap_video_frames_frame_sharded(
+        self,
+        params,
+        aux_params,
+        frames01: np.ndarray,
+        source01: np.ndarray,
+        mesh,
+        remove_classes=None,
+        axis_name: str = "data",
+    ) -> np.ndarray:
+        """LATENCY multi-chip variant (CLI ``--mesh_frames N``): windows run
+        one at a time with their F frames sharded over the mesh's
+        ``axis_name`` — SURVEY §7's context-parallel analog of the reference's
+        one-window-per-GPU batching (`VFace_inference_batch.py:193-670`).
+        Inversion/VAE stages are frame-local and partition as pure data
+        parallelism; the FGATS flow blend crosses shard boundaries through
+        the 1-frame ``ppermute`` halo (`parallel/frame_sharded.py`), so
+        outputs match the unsharded sequential loop
+        (tests/test_pipeline_e2e.py::test_frame_sharded_video_matches_sequential).
+
+        Use when chips ≥ windows (a short clip on many chips — first frames
+        ready in ~1/N the window wall time); the THROUGHPUT path for long
+        clips is :meth:`swap_video_frames_sharded` (independent windows).
+
+        Eligibility (enforced): the recon-free operating point
+        (``keep_recon_chunk=False``), no ``cross_window_carry``,
+        ``batch_windows == 1``, exact encoders (``encoder_interval == 1``),
+        and window size divisible by the mesh axis. A trailing short window
+        falls back to the sequential single-window program.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vface_tpu.parallel.frame_sharded import vface_sample_frame_sharded
+        from vface_tpu.preprocess.masks import TRAIN_REMOVE
+
+        opts = self.opts
+        n_mesh = mesh.shape[axis_name]
+        if opts.keep_recon_chunk or opts.cross_window_carry:
+            raise ValueError(
+                "frame-sharded swapping requires the recon-free operating "
+                "point (keep_recon_chunk=False) without cross_window_carry"
+            )
+        if opts.batch_windows != 1 or opts.encoder_interval != 1:
+            raise ValueError(
+                "frame-sharded swapping runs one window per program "
+                "(batch_windows=1) with exact encoders (encoder_interval=1)"
+            )
+        if opts.window % n_mesh:
+            raise ValueError(
+                f"window ({opts.window}) must divide over the {axis_name} "
+                f"axis ({n_mesh})"
+            )
+        if opts.window < 2:
+            raise ValueError("frame-sharded swapping is the flow-on path; window >= 2")
+
+        remove_classes = remove_classes or TRAIN_REMOVE
+        frames01 = jnp.asarray(frames01)
+        n = int(frames01.shape[0])
+        w = opts.window
+        n_full = n // w
+        hl = self.model.cfg.latent_size
+
+        crops01, inv_coeffs = self.align_crops(aux_params, frames01)
+        seg = self.parse_masks(aux_params, crops01)
+        _, keep_mask = inpaint_inputs(crops01 * 2 - 1, seg, remove_classes)
+
+        src = jnp.asarray(source01)[None]
+        src_crop01, _ = self.align_crops(aux_params, src)
+        src_seg = self.parse_masks(aux_params, src_crop01)
+        _, src_keep = inpaint_inputs(src_crop01 * 2 - 1, src_seg, remove_classes)
+        src_face_only = src_crop01 * (1.0 - src_keep)
+        src_clip = clip_preprocess(src_face_only, self.model.cfg.cond.clip.image_size)
+        src_lm = landmarks_to_vector(self.detect_landmarks(aux_params, src_crop01))
+        src_crop = src_crop01 * 2 - 1
+
+        shard = NamedSharding(mesh, P(axis_name))
+        out = np.zeros(frames01.shape, np.float32)
+        for wi in range(n_full):
+            s0 = wi * w
+            sl = slice(s0, s0 + w)
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl])
+            cond, uncond, inv_c, _ = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            c, km, cond, uncond, inv_c = (
+                jax.device_put(x, shard) for x in (c, km, cond, uncond, inv_c)
+            )
+            x_T, z_inpaint, mask_lat = self._invert_pack_jit(params, c, km, inv_c)
+            z0 = vface_sample_frame_sharded(
+                self.model, params, x_T, cond, uncond, inv_c,
+                z_inpaint, mask_lat, self.injection,
+                flow=resize_flow(flow, hl, hl), mesh=mesh,
+                num_steps=opts.ddim_steps, cfg_scale=opts.cfg_scale,
+                eta=opts.eta, axis_name=axis_name,
+            )
+            pasted = self._fs_post_jit(
+                params, z0,
+                jax.device_put(frames01[sl], shard),
+                jax.device_put(inv_coeffs[sl], shard),
+                km,
+            )
+            out[sl] = np.asarray(pasted)
+
+        rem = n - n_full * w
+        if rem:
+            s0 = n_full * w
+            sl = slice(s0, n)
+            c = crops01[sl] * 2 - 1
+            km = keep_mask[sl]
+            flow = self.compute_flow(aux_params, crops01[sl]) if rem > 1 else None
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, km, src_clip, src_crop01, src_lm
+            )
+            pasted = self.swap_window_pasted(
+                params, frames01[sl], inv_coeffs[sl], c, km,
+                cond, uncond, inv_c, c_src, src_crop, src_keep, flow,
+            )
+            out[sl] = np.asarray(pasted)
         return out
 
     def _swap_frames_pipelined(
