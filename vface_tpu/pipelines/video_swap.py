@@ -117,6 +117,19 @@ class SwapOptions:
     # different batch landscape, exactness pinned by
     # test_superpack_merged_sampling_matches_sequential.
     merge_sampling: bool = False
+    # ---- approx-track levers (quality-bounded; the EXACT headline never
+    # sets them — bench.py reports the approx composition separately with
+    # each lever's measured bound) ----
+    # RAFT GRU iterations. The reference pins 20 (torchvision raft_large
+    # default, temporal_flow.py:164-188); 8 keeps flow EPE small on face
+    # video (bound measured in scripts/bench_approx_levers.py) at
+    # ~0.06 ms/frame-pair-pixel less work (4.91 ms/iter, PLAN r4).
+    raft_iters: int = 20
+    # Background-consistency trick resolution. 0 = full-res (exact,
+    # :611-623); e.g. 256 runs the encode+decode roundtrip at 256² and
+    # bilinearly upsamples — only non-face background pixels are affected
+    # (the swapped face region comes from the sampling decode either way).
+    background_res: int = 0
 
 
 class VideoSwapPipeline:
@@ -135,7 +148,9 @@ class VideoSwapPipeline:
         self.model = model
         self.opts = opts
         self.bisenet = BiSeNet()
-        self.raft = RAFT()
+        from vface_tpu.models.raft import RAFTConfig
+
+        self.raft = RAFT(RAFTConfig(iters=opts.raft_iters))
         self.landmark_net = LandmarkNet()
         self.injection = InjectionSpec(
             input_blocks=FusionConfig(
@@ -1180,9 +1195,21 @@ class VideoSwapPipeline:
 
     def decode_with_background(self, params, frames: jax.Array) -> jax.Array:
         """The background-consistency trick (:611-623): encode+decode the
-        original frame so pasted backgrounds share the VAE's color response."""
-        z = self.model.encode_first_stage(params, frames)
-        out = self.model.decode_first_stage(params, z)
+        original frame so pasted backgrounds share the VAE's color response.
+
+        ``opts.background_res`` > 0 (approx lever): the roundtrip runs at that
+        resolution and upsamples — ~(res/S)² of the full-res VAE cost; only
+        background pixels differ (bound: scripts/bench_approx_levers.py)."""
+        r = self.opts.background_res
+        f, s = frames.shape[0], frames.shape[1]
+        if r and r < s:
+            small = jax.image.resize(frames, (f, r, r, 3), method="bilinear")
+            z = self.model.encode_first_stage(params, small)
+            out = self.model.decode_first_stage(params, z)
+            out = jax.image.resize(out, (f, s, s, 3), method="bilinear")
+        else:
+            z = self.model.encode_first_stage(params, frames)
+            out = self.model.decode_first_stage(params, z)
         return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
 
     # ------------------------------------------------------------ full run
