@@ -52,14 +52,26 @@ def face_hull_mask(lm: np.ndarray, size: int) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--n_data", type=int, default=1536)
-    ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--vae_steps", type=int, default=3000)
-    ap.add_argument("--ldm_steps", type=int, default=6000)
+    ap.add_argument("--config", choices=("tiny", "mid"), default="tiny",
+                    help="mid = ModelConfig.mid (41.6M params, 128², /4 "
+                    "latent) — the round-5 quality-loop bundle")
+    ap.add_argument("--n_data", type=int, default=None)
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--vae_steps", type=int, default=None)
+    ap.add_argument("--ldm_steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=100)
-    ap.add_argument("--out", default="vface_tpu/weights/tiny_synth.npz")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    mid = args.config == "mid"
+    args.size = args.size or (128 if mid else 64)
+    args.n_data = args.n_data or (2048 if mid else 1536)
+    args.vae_steps = args.vae_steps or (4000 if mid else 3000)
+    args.ldm_steps = args.ldm_steps or (10000 if mid else 6000)
+    args.out = args.out or (
+        "vface_tpu/weights/mid_synth.npz" if mid
+        else "vface_tpu/weights/tiny_synth.npz"
+    )
 
     import jax
     import jax.numpy as jnp
@@ -72,7 +84,8 @@ def main():
     from vface_tpu.runtime.checkpoint import save_params_npz
 
     s = args.size
-    model = VFaceModel(ModelConfig.tiny(image_size=s))
+    cfg_cls = ModelConfig.mid if mid else ModelConfig.tiny
+    model = VFaceModel(cfg_cls(image_size=s))
     clip_sz = model.cfg.cond.clip.image_size
 
     # ---------------- dataset ----------------

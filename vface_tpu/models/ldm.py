@@ -62,6 +62,23 @@ class ModelConfig:
             image_size=image_size,
         )
 
+    @classmethod
+    def mid(cls, image_size: int = 128):
+        """Mid-scale bundle for the in-env trained-weight quality loop
+        (VERDICT r4 item 2): a 3-level UNet over a /4 latent (32² at 128² —
+        1024 ds1 tokens, enough spatial structure for FSAI/FGATS to act on),
+        trainable on one chip in about an hour via
+        scripts/train_synthetic_tiny.py --config mid."""
+        return cls(
+            unet=dataclasses.replace(
+                UNetConfig.tiny(), model_channels=64, channel_mult=(1, 2, 4),
+                num_heads=4, context_dim=128,
+            ),
+            vae=dataclasses.replace(VAEConfig.tiny(), ch=64, ch_mult=(1, 2, 4)),
+            cond=dataclasses.replace(ConditionerConfig.tiny(), context_dim=128),
+            image_size=image_size,
+        )
+
     @property
     def latent_size(self) -> int:
         return self.image_size // (2 ** (len(self.vae.ch_mult) - 1))

@@ -186,11 +186,18 @@ def _paint_face(
     scale: float,
     theta: float | None = None,
     aspect: float | None = None,
+    shape: dict | None = None,
 ) -> np.ndarray:
     """Paint one randomized face (all soft-alpha layers, no background /
-    photometrics) into ``img`` in place; returns the (68, 2) landmark GT."""
+    photometrics) into ``img`` in place; returns the (68, 2) landmark GT.
+
+    ``shape`` overrides the per-call shape draw — a motion sequence re-seeds
+    ``rng`` per frame (stable identity/accessories) while morphing the shape
+    params per frame (expression)."""
     s = img.shape[0]
-    p = sample_shape(rng)
+    p = dict(shape) if shape is not None else sample_shape(rng)
+    if shape is not None:
+        sample_shape(rng)  # keep the rng stream aligned with the unshaped call
     if theta is None:
         theta = rng.uniform(-0.35, 0.35)
     if aspect is None:
@@ -463,6 +470,97 @@ def render_batch(
 ) -> Tuple[np.ndarray, np.ndarray]:
     imgs, lms = zip(*(render_face(rng, size) for _ in range(n)))
     return np.stack(imgs), np.stack(lms)
+
+
+def render_motion_sequence(
+    rng: np.random.Generator,
+    n_frames: int,
+    size: int = 128,
+    pose_amp: float = 1.0,
+    expr_amp: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """NON-RIGID face video: one identity under smooth pose motion
+    (translation + in-plane rotation + zoom — spatially-VARYING image flow,
+    unlike the rigid pan) and per-frame expression morphs (jaw drop, mouth
+    open/width, brow raise, eye squint — true feature-level non-rigidity).
+
+    The regime FGATS/flow-warping exists for (`scripts/temporal_flow.py:
+    223-237`): adjacent frames differ by a deformation a static blend cannot
+    explain. Returns (frames01 (F, S, S, 3), landmarks (F, 68, 2) px,
+    pose (F, 4) = [cx, cy, scale·aspect? no — cx, cy, scale, theta]).
+
+    The face-region GT correspondence between frames i→j is the similarity
+    map px_j = R(θj)·S(sj)·R(θi)⁻¹·S(si)⁻¹·(px_i − c_i) + c_j composed from
+    the returned pose rows (exact for the rigid-pose component; expression
+    morphs move landmarks on top of it — their GT lives in the landmark
+    tracks). Identity, accessories, lighting and photometrics are held
+    fixed by re-seeding the identity rng per frame.
+    """
+    ident_seed = int(rng.integers(0, 2**31))
+    base_shape = sample_shape(np.random.default_rng(ident_seed + 1))
+    s = size
+    # smooth pose trajectory: random low-frequency sinusoids
+    t = np.arange(n_frames, dtype=np.float32)
+    ph = rng.uniform(0, 2 * np.pi, 6)
+    w = rng.uniform(0.2, 0.6, 6) * (2 * np.pi / max(n_frames, 2))
+    cx = (0.5 + pose_amp * 0.06 * np.sin(w[0] * t * n_frames / 6 + ph[0])) * s
+    cy = (0.5 + pose_amp * 0.05 * np.sin(w[1] * t * n_frames / 6 + ph[1])) * s
+    scale = (0.30 + pose_amp * 0.045 * np.sin(w[2] * t * n_frames / 6 + ph[2])) * s
+    theta = pose_amp * 0.16 * np.sin(w[3] * t * n_frames / 6 + ph[3])
+    # expression tracks: jaw/mouth on one rhythm (speech-like), brows/eyes
+    # on another (slower)
+    jaw = expr_amp * np.clip(np.sin(w[4] * t * n_frames / 2 + ph[4]), 0, 1)
+    brow = expr_amp * 0.5 * np.sin(w[5] * t * n_frames / 4 + ph[5])
+
+    yy, xx = np.meshgrid(np.arange(s, dtype=np.float32),
+                         np.arange(s, dtype=np.float32), indexing="ij")
+    frames, lms, poses = [], [], []
+    for i in range(n_frames):
+        r_i = np.random.default_rng(ident_seed)
+        img = _background(r_i, s, xx, yy)
+        p = dict(base_shape)
+        p["jaw_drop"] = base_shape["jaw_drop"] + 0.10 * jaw[i]
+        p["jaw_h"] = base_shape["jaw_h"] * (1.0 + 0.06 * jaw[i])
+        p["mouth_ry"] = base_shape["mouth_ry"] * (1.0 + 0.9 * jaw[i])
+        p["mouth_rx"] = base_shape["mouth_rx"] * (1.0 - 0.15 * jaw[i])
+        p["mouth_y"] = base_shape["mouth_y"] + 0.05 * jaw[i]
+        p["brow_y"] = base_shape["brow_y"] - 0.06 * max(brow[i], 0)
+        p["eye_ry"] = base_shape["eye_ry"] * (1.0 + 0.35 * brow[i])
+        lm = _paint_face(
+            img, r_i, xx, yy, cx=float(cx[i]), cy=float(cy[i]),
+            scale=float(scale[i]), theta=float(theta[i]), aspect=0.95,
+            shape=p,
+        )
+        frames.append(_photometrics(img, r_i, xx, yy))
+        lms.append(lm)
+        poses.append([cx[i], cy[i], scale[i], theta[i]])
+    return np.stack(frames), np.stack(lms), np.asarray(poses, np.float32)
+
+
+def motion_pair_flow(
+    pose_i: np.ndarray, pose_j: np.ndarray, size: int, aspect: float = 0.95
+) -> np.ndarray:
+    """Dense GT backward flow (S, S, 2) of the POSE component for a motion-
+    sequence pair: for every pixel of frame j, the offset to its source pixel
+    in frame i (the `compute_flow` backward-direction contract). Exact on the
+    face region where expression is static; the background is static (flow 0
+    there is the truth, this returns the face-map everywhere — mask by the
+    face region when comparing)."""
+    cxi, cyi, si, thi = (float(v) for v in pose_i)
+    cxj, cyj, sj, thj = (float(v) for v in pose_j)
+    yy, xx = np.meshgrid(np.arange(size, dtype=np.float32),
+                         np.arange(size, dtype=np.float32), indexing="ij")
+    # px_j → canonical (undo pose j), canonical → px_i (apply pose i)
+    dxj, dyj = xx - cxj, yy - cyj
+    ct, st = np.cos(thj), np.sin(thj)
+    uc = (dxj * ct + dyj * st) / (sj * aspect)
+    vc = (-dxj * st + dyj * ct) / sj
+    ct, st = np.cos(thi), np.sin(thi)
+    qx = uc * (si * aspect)
+    qy = vc * si
+    xi = qx * ct - qy * st + cxi
+    yi = qx * st + qy * ct + cyi
+    return np.stack([xi - xx, yi - yy], axis=-1).astype(np.float32)
 
 
 def render_pan_sequence(
