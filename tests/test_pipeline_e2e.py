@@ -154,6 +154,35 @@ def test_sharded_windows_match_sequential(pipeline):
     np.testing.assert_allclose(shd, seq, atol=1e-5)
 
 
+def test_streaming_superpack_bit_exact(pipeline):
+    """The double-buffered streaming super-pack loop (host-resident frames)
+    equals the non-streaming one (device-array input forces the old path),
+    including the odd-pack/short-window remainder and the cross-group
+    alignment fallback chain."""
+    import dataclasses as dc
+
+    from vface_tpu.pipelines.video_swap import VideoSwapPipeline
+
+    pipe, params, aux_params = pipeline
+    hl = pipe.model.cfg.latent_size
+    opts = dc.replace(
+        pipe.opts, window=2, batch_windows=2, invert_packs=2,
+        flow_tokens=hl * hl,
+    )
+    # 11 frames = 2 groups of 8? no: group = 2*w_pack = 8 → 1 group + pack(4) + short(... )
+    frames = np.random.default_rng(60).uniform(0, 1, (11, 48, 48, 3)).astype(np.float32)
+    source = np.random.default_rng(61).uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    pipe1 = VideoSwapPipeline(pipe.model, opts)
+    pipe1.raft = pipe.raft
+    streamed = pipe1.swap_video_frames(params, aux_params, frames, source)
+    pipe2 = VideoSwapPipeline(pipe.model, opts)
+    pipe2.raft = pipe.raft
+    plain = pipe2.swap_video_frames(
+        params, aux_params, jnp.asarray(frames), source
+    )
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(plain))
+
+
 def test_frame_sharded_video_matches_sequential(pipeline):
     """swap_video_frames_frame_sharded (the --mesh_frames LATENCY path: one
     window at a time, frames sharded over the mesh, FGATS flow crossing shard

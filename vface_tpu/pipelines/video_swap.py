@@ -206,17 +206,23 @@ class VideoSwapPipeline:
     def detect_landmarks(self, aux_params, images01: jax.Array) -> jax.Array:
         return self._lm_jit(aux_params, images01)
 
-    def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0,
+    def align_begin(self, aux_params, frames01: jax.Array, scale: float = 1.0,
                     landmarks: Optional[jax.Array] = None):
-        """frames01 (F, H, W, 3) in [0,1] → (crops01 (F,S,S,3), inv_coeffs (F,8)).
-
-        quad via landmarks (alignmengt.py:148-178), crop via the batched QUAD
-        transform, inverse perspective coefficients for paste-back.
-        ``landmarks`` (F, 68, 2) overrides detection (multi-face localisation).
-        """
-        s = self.opts.image_size
+        """Device stage of the alignment: landmark detect + quad compute.
+        Returns (quad, qsize) DEVICE arrays — dispatch this EARLY so the
+        small programs run (and their results become fetchable) while a big
+        program occupies the queue behind them (the streaming overlap in
+        `_swap_frames_superpacked_streaming`)."""
         lm = landmarks if landmarks is not None else self.detect_landmarks(aux_params, frames01)
-        quad, qsize = compute_quad(lm, scale=scale)
+        return compute_quad(lm, scale=scale)
+
+    def align_finish(self, frames01: jax.Array, quad, qsize,
+                     prev_quad: Optional[np.ndarray] = None):
+        """Host+device tail of the alignment: degenerate-quad fallback (host),
+        quad crop (device), inverse-perspective solve (host). ``prev_quad``
+        carries the fallback chain across streamed chunk boundaries (bit-equal
+        to whole-clip alignment). Returns (crops01, inv_coeffs, last_quad)."""
+        s = self.opts.image_size
         # detection-failure fallback (VFace_inference_batch.py:297-304): a
         # degenerate quad (near-zero extent) reuses the previous frame's quad;
         # frame 0 falls back to a centred crop of the full frame.
@@ -228,14 +234,13 @@ class VideoSwapPipeline:
             [[0.0, 0.0], [0.0, h_img - 1.0], [w_img - 1.0, h_img - 1.0], [w_img - 1.0, 0.0]],
             np.float32,
         )
-        prev = fallback
+        prev = fallback if prev_quad is None else prev_quad
         for i in range(quad_np_all.shape[0]):
             if qs[i] < min_q or not np.isfinite(quad_np_all[i]).all():
                 quad_np_all[i] = prev
             else:
                 prev = quad_np_all[i]
-        quad = jnp.asarray(quad_np_all)
-        crops = quad_crop(frames01, quad, s)
+        crops = quad_crop(frames01, jnp.asarray(quad_np_all), s)
         # inverse transform: frame pixel → crop pixel, per frame (host solve)
         coeffs = np.stack(
             [
@@ -247,7 +252,19 @@ class VideoSwapPipeline:
                 for i in range(quad_np_all.shape[0])
             ]
         )
-        return crops, jnp.asarray(coeffs)
+        return crops, jnp.asarray(coeffs), prev
+
+    def align_crops(self, aux_params, frames01: jax.Array, scale: float = 1.0,
+                    landmarks: Optional[jax.Array] = None):
+        """frames01 (F, H, W, 3) in [0,1] → (crops01 (F,S,S,3), inv_coeffs (F,8)).
+
+        quad via landmarks (alignmengt.py:148-178), crop via the batched QUAD
+        transform, inverse perspective coefficients for paste-back.
+        ``landmarks`` (F, 68, 2) overrides detection (multi-face localisation).
+        """
+        quad, qsize = self.align_begin(aux_params, frames01, scale, landmarks)
+        crops, coeffs, _ = self.align_finish(frames01, quad, qsize)
+        return crops, coeffs
 
     def parse_masks(self, aux_params, crops01: jax.Array) -> jax.Array:
         return self._parse_jit(aux_params, crops01)
@@ -704,6 +721,142 @@ class VideoSwapPipeline:
             frames01_2,
         )
         return paste_back(bg, out01, inv_coeffs_2, 1.0 - keep_2)
+
+    def _superpack_pair_mask(self):
+        opts = self.opts
+        w = opts.window * max(1, opts.batch_windows)
+        if opts.batch_windows <= 1:
+            return None
+        m = np.ones((w - 1,), np.float32)
+        for b0 in range(opts.window, w, opts.window):
+            m[b0 - 1] = 0.0
+        return jnp.asarray(m) if (m == 0).any() else None
+
+    def _swap_frames_superpacked_streaming(
+        self, params, aux_params, frames01_np, src_clip, src_crop01, src_lm,
+        src_keep, manifest, window_sink, remove_classes,
+    ) -> np.ndarray:
+        """SURVEY §7's host/device double buffering for the super-pack path
+        (VERDICT r4 item 4): while super-pack i occupies the device, group
+        i+1's raw frames ride up over DMA, pack i−1's output rides down and
+        is persisted, and the host solves group i+1's perspective
+        coefficients — so the only un-overlapped work between packs is the
+        small aux device programs (landmarks/parse/conditioning/flow, real
+        device work the device-only bench excludes) plus group 0's prologue.
+
+        Per-pack schedule (device executes in dispatch order):
+          1. dispatch super-pack i                      (big program)
+          2. device_put frames(i+1)                     (DMA, overlaps 1)
+          3. dispatch landmark/quad programs (i+1)      (queued after 1)
+          4. emit(i): async D2H; fetch+persist pack i−1 (host, overlaps 1)
+          5. finish align (i+1): quad fetch syncs on 3, host coeff solve,
+             dispatch parse/conditioning/flow (i+1)     (queued after 3)
+
+        Outputs are bit-identical to the non-streaming super-pack loop (the
+        degenerate-quad fallback chain carries across groups via
+        ``align_finish(prev_quad=...)``); pinned by
+        tests/test_pipeline_e2e.py::test_streaming_superpack_bit_exact.
+        """
+        opts = self.opts
+        n = int(frames01_np.shape[0])
+        w = opts.window * max(1, opts.batch_windows)
+        g = 2 * w
+        n_groups = n // g
+        pm = self._superpack_pair_mask()
+
+        out_frames = []
+        pending = None
+
+        def _flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            ps0, parr = pending
+            pending = None
+            arr = np.asarray(parr)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(ps0, arr)
+                manifest.mark_done(ps0, arr.shape[0], paths)
+            out_frames.append(arr)
+
+        def emit(s0, pasted):
+            nonlocal pending
+            if hasattr(pasted, "copy_to_host_async"):
+                pasted.copy_to_host_async()
+            _flush_pending()
+            pending = (s0, pasted)
+
+        def upload_and_begin(gi):
+            sl = slice(gi * g, (gi + 1) * g)
+            fr = jax.device_put(frames01_np[sl])  # async H2D
+            quad, qsize = self.align_begin(aux_params, fr)
+            return dict(s0=sl.start, fr=fr, quad=quad, qsize=qsize)
+
+        def finish_prep(st, prev_quad):
+            crops01_g, coeffs, prev_quad = self.align_finish(
+                st["fr"], st["quad"], st["qsize"], prev_quad
+            )
+            seg = self.parse_masks(aux_params, crops01_g)
+            _, keep = inpaint_inputs(crops01_g * 2 - 1, seg, remove_classes)
+            c = crops01_g * 2 - 1
+            cond, uncond, inv_c, _ = self.window_conditionings(
+                params, aux_params, c, keep, src_clip, src_crop01, src_lm
+            )
+            flow = self.compute_flow_superpack(aux_params, crops01_g)
+            st.update(crops01=crops01_g, c=c, keep=keep, coeffs=coeffs,
+                      cond=cond, uncond=uncond, inv_c=inv_c, flow=flow)
+            return st, prev_quad
+
+        cur, prev_quad = finish_prep(upload_and_begin(0), None)
+        for i in range(n_groups):
+            pasted = self._superpack_jit(
+                params, cur["fr"], cur["coeffs"], cur["c"], cur["keep"],
+                cur["cond"], cur["uncond"], cur["inv_c"], cur["flow"],
+                pm, pm, has_flow=True,
+            )
+            nxt = None
+            if i + 1 < n_groups:
+                nxt = upload_and_begin(i + 1)
+            emit(cur["s0"], pasted)
+            if nxt is not None:
+                cur, prev_quad = finish_prep(nxt, prev_quad)
+        _flush_pending()
+
+        # trailing packs/short window (< one group): standard per-pack path
+        # (same chunking as the non-streaming loop — bit-exactness), the
+        # alignment fallback chain carried through
+        for s0 in range(n_groups * g, n, w):
+            sl = slice(s0, min(s0 + w, n))
+            fr = jax.device_put(frames01_np[sl])
+            quad, qsize = self.align_begin(aux_params, fr)
+            crops01_r, coeffs, prev_quad = self.align_finish(
+                fr, quad, qsize, prev_quad
+            )
+            seg = self.parse_masks(aux_params, crops01_r)
+            _, keep = inpaint_inputs(crops01_r * 2 - 1, seg, remove_classes)
+            c = crops01_r * 2 - 1
+            cond, uncond, inv_c, c_src = self.window_conditionings(
+                params, aux_params, c, keep, src_clip, src_crop01, src_lm
+            )
+            nf = sl.stop - s0
+            flow = self.compute_flow(aux_params, crops01_r) if nf > 1 else None
+            pair_mask = None
+            if flow is not None and opts.batch_windows > 1:
+                m = np.ones((nf - 1,), np.float32)
+                for b0 in range(opts.window, nf, opts.window):
+                    m[b0 - 1] = 0.0
+                if (m == 0).any():
+                    pair_mask = jnp.asarray(m)
+            pasted = self.swap_window_pasted(
+                params, fr, coeffs, c, keep, cond, uncond, inv_c, c_src,
+                src_crop01 * 2 - 1, src_keep, flow, pair_mask=pair_mask,
+            )
+            arr = np.asarray(pasted)
+            if manifest is not None and window_sink is not None:
+                paths = window_sink(s0, arr)
+                manifest.mark_done(s0, arr.shape[0], paths)
+            out_frames.append(arr)
+        return np.concatenate([np.asarray(o) for o in out_frames], axis=0)
 
     def _swap_frames_superpacked(
         self, params, aux_params, frames01, crops01, inv_coeffs, keep_mask,
@@ -1243,8 +1396,50 @@ class VideoSwapPipeline:
 
         remove_classes = remove_classes or TRAIN_REMOVE
         opts = self.opts
+        n = int(frames01.shape[0])
+        w_pack = opts.window * max(1, opts.batch_windows)
+        fresh_pre = manifest is None or not any(
+            manifest.is_done(s0) for s0 in range(0, n, w_pack)
+        )
+        # streaming super-pack path (SURVEY §7 double buffering): host-
+        # resident frames, default prep — prep per group overlaps the
+        # previous group's device compute; src prep below is all it needs
+        can_stream = (
+            opts.invert_packs == 2
+            and not opts.cross_window_carry
+            and not opts.keep_recon_chunk
+            and opts.inversion_steps >= 2
+            and n >= 2 * w_pack
+            and fresh_pre
+            and frame_landmarks is None
+            and frame_keep is None
+            and isinstance(frames01, np.ndarray)
+        )
+        if can_stream:
+            src = jnp.asarray(source01)[None]
+            src_crop01, _ = self.align_crops(aux_params, src)
+            if source_keep is not None:
+                src_keep = self._coerce_keep(
+                    jnp.asarray(source_keep)[None], src_crop01.shape
+                )
+            else:
+                src_seg = self.parse_masks(aux_params, src_crop01)
+                _, src_keep = inpaint_inputs(
+                    src_crop01 * 2 - 1, src_seg, remove_classes
+                )
+            src_face_only = src_crop01 * (1.0 - src_keep)
+            src_clip = clip_preprocess(
+                src_face_only, self.model.cfg.cond.clip.image_size
+            )
+            src_lm = landmarks_to_vector(
+                self.detect_landmarks(aux_params, src_crop01)
+            )
+            return self._swap_frames_superpacked_streaming(
+                params, aux_params, frames01, src_clip, src_crop01, src_lm,
+                src_keep, manifest, window_sink, remove_classes,
+            )
+
         frames01 = jnp.asarray(frames01)
-        n = frames01.shape[0]
 
         crops01, inv_coeffs = self.align_crops(aux_params, frames01, landmarks=frame_landmarks)
         if frame_keep is not None:
