@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--ldm_steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--recon_steps", type=int, default=None,
+                    help="phase 3: continue with the FULL production loss "
+                    "(train-time DDIM reconstruction + masked ID loss, "
+                    "ddpm.py:1696-1797) so identity transfer gets a training "
+                    "signal (the ID net is the frozen random-init tiny "
+                    "ArcFace — a fixed feature space, not a calibrated one)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     mid = args.config == "mid"
@@ -68,6 +74,8 @@ def main():
     args.n_data = args.n_data or (2048 if mid else 1536)
     args.vae_steps = args.vae_steps or (4000 if mid else 3000)
     args.ldm_steps = args.ldm_steps or (10000 if mid else 6000)
+    if args.recon_steps is None:
+        args.recon_steps = 2000 if mid else 0
     args.out = args.out or (
         "vface_tpu/weights/mid_synth.npz" if mid
         else "vface_tpu/weights/tiny_synth.npz"
@@ -207,8 +215,53 @@ def main():
         print(f"[ldm] {done}/{args.ldm_steps} loss {float(l):.4f} "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
 
+    # ---------------- phase 3 (optional): full recon+ID loss ----------------
+    if args.recon_steps:
+        tcfg3 = TrainConfig(
+            reconstruct=True, reconstruct_steps=2,
+            id_loss_weight=0.25, lpips_loss_weight=0.0,
+            learning_rate=5e-5, warmup_steps=100, weight_decay=1e-4,
+        )
+        opt3 = make_optimizer(tcfg3, params)
+        ost3 = jax.jit(opt3.init)(params)
+        train_step3 = make_train_step(model, opt3, tcfg3)
+
+        def recon_chunk_impl(p, st, key, idxs, ds):
+            def step(carry, idx):
+                p, st, key = carry
+                key, k1 = jax.random.split(key)
+                batch = {
+                    "gt_image": ds["gt"][idx],
+                    "inpaint": ds["gt"][idx] * ds["keep"][idx],
+                    "mask": ds["keep"][idx],
+                    "ref_clip": ds["ref_clip"][idx],
+                    "ref_face01": ds["ref_face"][idx],
+                    "landmarks": ds["lmv"][idx],
+                }
+                p, st, logs = train_step3(p, st, batch, k1)
+                return (p, st, key), (logs["loss"], logs.get("loss_id", 0.0))
+
+            (p, st, key), (losses, idls) = jax.lax.scan(step, (p, st, key), idxs)
+            return p, st, key, jnp.mean(losses), jnp.mean(idls)
+
+        recon_chunk = jax.jit(recon_chunk_impl)
+        key = jax.random.PRNGKey(4)
+        t0 = time.perf_counter()
+        done = 0
+        b3 = max(4, args.batch // 4)  # recon chain is ~4x the eps step
+        while done < args.recon_steps:
+            k = min(args.chunk, args.recon_steps - done)
+            idx = order.integers(0, args.n_data, (k, b3)).astype(np.int32)
+            params, ost3, key, l, lid = recon_chunk(
+                params, ost3, key, jnp.asarray(idx), ds
+            )
+            done += k
+            print(f"[recon] {done}/{args.recon_steps} loss {float(l):.4f} "
+                  f"id {float(lid):.4f} ({time.perf_counter()-t0:.0f}s)",
+                  flush=True)
+
     save_params_npz(args.out, jax.device_get(params))
-    print(f"saved tiny synthetic bundle to {args.out}", flush=True)
+    print(f"saved synthetic bundle to {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,12 @@ class TrainConfig:
     original_elbo_weight: float = 0.0
     reconstruct: bool = True
     weight_decay: float = 1e-2
+    # program-splitting support (make_split_train_step): "all" = the fused
+    # loss; "eps" / "recon" compute only that part's terms while consuming
+    # the SAME rng draws, so grads("eps") + grads("recon") == grads("all").
+    # Exists because the remote TPU compiler crashes on the fused 512²
+    # recon2+ID backward (PLAN.md round-4 item 3); never changes semantics.
+    loss_parts: str = "all"
 
 
 def trainable_mask(params, partial_unet: bool = False):
@@ -190,18 +196,22 @@ def p_losses_face(
         noise = jax.random.normal(r_noise, z0.shape)
     z_noisy = model.q_sample(z0, t, noise)
     x9 = model.build_unet_input(z_noisy, z_inpaint, mask_lat)
-    need_feats = cfg.landmark_loss_weight > 0 and "landmarks" in batch
-    if need_feats:
-        eps, feats = model.apply_model(params, x9, t, cond, return_features=True)
-    else:
-        eps = model.apply_model(params, x9, t, cond)
-    simple = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
-    loss = cfg.l_simple_weight * jnp.mean(simple)
-    logs = {"loss_simple": jnp.mean(simple)}
-    if cfg.original_elbo_weight > 0:
-        vlb = jnp.mean(vlb_weights(model)[t] * simple)
-        loss = loss + cfg.original_elbo_weight * vlb
-        logs["loss_vlb"] = vlb
+    eps_part = cfg.loss_parts in ("all", "eps")
+    need_feats = eps_part and cfg.landmark_loss_weight > 0 and "landmarks" in batch
+    loss = 0.0
+    logs = {}
+    if eps_part:
+        if need_feats:
+            eps, feats = model.apply_model(params, x9, t, cond, return_features=True)
+        else:
+            eps = model.apply_model(params, x9, t, cond)
+        simple = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
+        loss = cfg.l_simple_weight * jnp.mean(simple)
+        logs = {"loss_simple": jnp.mean(simple)}
+        if cfg.original_elbo_weight > 0:
+            vlb = jnp.mean(vlb_weights(model)[t] * simple)
+            loss = loss + cfg.original_elbo_weight * vlb
+            logs["loss_vlb"] = vlb
 
     if need_feats:
         # optional landmark MSE from UNet features (ddpm.py:1692-1694,
@@ -219,7 +229,7 @@ def p_losses_face(
             logs["loss_landmark"] = lm_loss
 
     # --- train-time DDIM reconstruction (ddpm.py:1696-1797) ---
-    if cfg.reconstruct:
+    if cfg.reconstruct and cfg.loss_parts in ("all", "recon"):
         from vface_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
         from vface_tpu.ops.pooling import adaptive_avg_pool
 
@@ -323,3 +333,55 @@ def make_train_step(
         return params, opt_state, logs
 
     return train_step
+
+
+def make_split_train_step(
+    model: VFaceModel,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainConfig = TrainConfig(),
+    perceptual_fn: Optional[Callable] = None,
+):
+    """Semantically-identical train step split across THREE programs:
+    grads of the eps/VLB part, grads of the recon/ID/LPIPS part, and the
+    optimizer apply — for shapes whose FUSED fwd+bwd the remote TPU compiler
+    cannot build (the deterministic 512² bs1 recon2+ID tpu_compile_helper
+    crash, PLAN.md r4 item 3). Both loss programs consume the same rng
+    draws, so grad_eps + grad_recon == the fused gradient exactly; the sum
+    happens inside the apply program.
+
+    Returns ``step(params, opt_state, batch, rng)`` — a host function
+    dispatching the three jitted programs.
+    """
+    cfg_eps = dataclasses.replace(cfg, loss_parts="eps")
+    cfg_rec = dataclasses.replace(cfg, loss_parts="recon")
+
+    @jax.jit
+    def grads_eps(params, batch, rng):
+        return jax.value_and_grad(
+            lambda p: p_losses_face(model, p, batch, rng, cfg_eps, perceptual_fn),
+            has_aux=True,
+        )(params)
+
+    @jax.jit
+    def grads_rec(params, batch, rng):
+        return jax.value_and_grad(
+            lambda p: p_losses_face(model, p, batch, rng, cfg_rec, perceptual_fn),
+            has_aux=True,
+        )(params)
+
+    @jax.jit
+    def apply(params, opt_state, g_a, g_b):
+        grads = jax.tree_util.tree_map(jnp.add, g_a, g_b)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def step(params, opt_state, batch, rng):
+        (_, logs_a), g_a = grads_eps(params, batch, rng)
+        (_, logs_b), g_b = grads_rec(params, batch, rng)
+        params, opt_state = apply(params, opt_state, g_a, g_b)
+        logs = dict(logs_a)
+        logs.update(logs_b)
+        logs["loss"] = logs_a["loss"] + logs_b["loss"]
+        return params, opt_state, logs
+
+    return step
