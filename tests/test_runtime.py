@@ -67,3 +67,51 @@ def test_lambda_linear_schedule_values():
     assert abs(float(s(0)) - 1e-6) < 1e-7
     assert abs(float(s(100)) - 1.0) < 1e-5
     assert abs(float(s(10_000)) - 1.0) < 1e-5
+
+
+def test_split_train_step_matches_fused(tiny_bundle):
+    """make_split_train_step (three programs, shared rng draws — the 512²
+    recon2+ID compiler-crash workaround) produces the SAME updated params
+    and loss as the fused step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vface_tpu.pipelines.train import (
+        TrainConfig,
+        make_optimizer,
+        make_split_train_step,
+        make_train_step,
+    )
+
+    model, params = tiny_bundle
+    tcfg = TrainConfig(
+        reconstruct=True, reconstruct_steps=2, id_loss_weight=0.3,
+        lpips_loss_weight=0.0, warmup_steps=10,
+    )
+    opt = make_optimizer(tcfg, params)
+    s = model.cfg.image_size
+    clip_sz = model.cfg.cond.clip.image_size
+    k = jax.random.split(jax.random.PRNGKey(1), 6)
+    batch = {
+        "gt_image": jax.random.uniform(k[0], (2, s, s, 3)) * 2 - 1,
+        "inpaint": jax.random.uniform(k[1], (2, s, s, 3)) * 2 - 1,
+        "mask": (jax.random.uniform(k[2], (2, s, s, 1)) > 0.3).astype(jnp.float32),
+        "ref_clip": jax.random.normal(k[3], (2, clip_sz, clip_sz, 3)) * 0.3,
+        "ref_face01": jax.random.uniform(k[4], (2, 112, 112, 3)),
+        "landmarks": jax.random.uniform(k[5], (2, 136)),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    fused = jax.jit(make_train_step(model, opt, tcfg))
+    p1, _, logs1 = fused(params, opt.init(params), batch, rng)
+    split = make_split_train_step(model, opt, tcfg)
+    p2, _, logs2 = split(params, opt.init(params), batch, rng)
+
+    np.testing.assert_allclose(
+        float(logs1["loss"]), float(logs2["loss"]), rtol=1e-5
+    )
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
