@@ -764,6 +764,17 @@ class VideoSwapPipeline:
         n_groups = n // g
         pm = self._superpack_pair_mask()
 
+        import os as _os
+        import time as _time
+
+        _trace = bool(_os.environ.get("VFACE_STREAM_TRACE"))
+        _t0 = _time.perf_counter()
+
+        def _tr(tag):
+            if _trace:
+                print(f"[stream +{_time.perf_counter() - _t0:7.2f}s] {tag}",
+                      flush=True)
+
         out_frames = []
         pending = None
 
@@ -773,7 +784,9 @@ class VideoSwapPipeline:
                 return
             ps0, parr = pending
             pending = None
+            _tr(f"flush s0={ps0} fetch…")
             arr = np.asarray(parr)
+            _tr(f"flush s0={ps0} fetched")
             if manifest is not None and window_sink is not None:
                 paths = window_sink(ps0, arr)
                 manifest.mark_done(ps0, arr.shape[0], paths)
@@ -788,38 +801,71 @@ class VideoSwapPipeline:
 
         def upload_and_begin(gi):
             sl = slice(gi * g, (gi + 1) * g)
+            _tr(f"upload g{gi}…")
             fr = jax.device_put(frames01_np[sl])  # async H2D
             quad, qsize = self.align_begin(aux_params, fr)
+            # start the D2H of the small quad results NOW: on the tunneled
+            # backend a synchronous fetch RPC behaves as a full queue
+            # barrier (and can wedge when the producer sits behind a
+            # running super-pack); copy_to_host_async is the only
+            # non-barrier D2H, so the later np.array(quad) in align_finish
+            # just waits for this copy instead of issuing a barrier fetch
+            for buf in (quad, qsize):
+                if hasattr(buf, "copy_to_host_async"):
+                    buf.copy_to_host_async()
+            _tr(f"upload g{gi} dispatched")
             return dict(s0=sl.start, fr=fr, quad=quad, qsize=qsize)
 
         def finish_prep(st, prev_quad):
+            _tr(f"prep s0={st['s0']} align_finish…")
             crops01_g, coeffs, prev_quad = self.align_finish(
                 st["fr"], st["quad"], st["qsize"], prev_quad
             )
+            _tr(f"prep s0={st['s0']} parse…")
             seg = self.parse_masks(aux_params, crops01_g)
             _, keep = inpaint_inputs(crops01_g * 2 - 1, seg, remove_classes)
             c = crops01_g * 2 - 1
+            _tr(f"prep s0={st['s0']} cond…")
             cond, uncond, inv_c, _ = self.window_conditionings(
                 params, aux_params, c, keep, src_clip, src_crop01, src_lm
             )
+            _tr(f"prep s0={st['s0']} flow…")
             flow = self.compute_flow_superpack(aux_params, crops01_g)
+            _tr(f"prep s0={st['s0']} done")
             st.update(crops01=crops01_g, c=c, keep=keep, coeffs=coeffs,
                       cond=cond, uncond=uncond, inv_c=inv_c, flow=flow)
             return st, prev_quad
 
+        # Depth-2 lookahead: group i+1's ENTIRE prep (quad fetch → host
+        # coeff solve → parse/conditioning/flow dispatch) happens BEFORE
+        # super-pack i is dispatched, so every aux program sits in the
+        # device queue ahead of the big program and the host solve overlaps
+        # super-pack i−1's tail. Steady-state device stream is then packed
+        # [aux(i+1)][superpack(i)][aux(i+2)][superpack(i+1)]… with the only
+        # host-blocking fetches (quad(i+1), pack(i−1) outputs) landing on
+        # buffers whose programs completed one super-pack ago.
         cur, prev_quad = finish_prep(upload_and_begin(0), None)
+        nxt_st = upload_and_begin(1) if n_groups > 1 else None
         for i in range(n_groups):
+            nxt = None
+            if nxt_st is not None:
+                nxt, prev_quad = finish_prep(nxt_st, prev_quad)
+            _tr(f"superpack s0={cur['s0']} dispatch…")
             pasted = self._superpack_jit(
                 params, cur["fr"], cur["coeffs"], cur["c"], cur["keep"],
                 cur["cond"], cur["uncond"], cur["inv_c"], cur["flow"],
                 pm, pm, has_flow=True,
             )
-            nxt = None
-            if i + 1 < n_groups:
-                nxt = upload_and_begin(i + 1)
+            _tr(f"superpack s0={cur['s0']} dispatched")
+            # upload i+2 only AFTER the big program is queued: keeps at most
+            # two groups' inputs resident (the super-pack runs near the HBM
+            # edge at 512²; a third in-flight group forces spills)
+            nxt_st = (
+                upload_and_begin(i + 2) if i + 2 < n_groups else None
+            )
             emit(cur["s0"], pasted)
             if nxt is not None:
-                cur, prev_quad = finish_prep(nxt, prev_quad)
+                cur = nxt
         _flush_pending()
 
         # trailing packs/short window (< one group): standard per-pack path
