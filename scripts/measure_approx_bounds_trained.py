@@ -46,10 +46,20 @@ apply_platform_from_env()
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--weights", default="vface_tpu/weights/tiny_synth.npz")
-    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--config", choices=("tiny", "mid"), default="tiny")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--motion", choices=("pan", "nonrigid"), default="pan",
+                    help="nonrigid = expression/pose morph clip "
+                         "(render_motion_sequence), the regime FGATS targets")
     args = ap.parse_args()
+    mid = args.config == "mid"
+    args.size = args.size or (128 if mid else 64)
+    args.weights = args.weights or (
+        "vface_tpu/weights/mid_synth.npz" if mid
+        else "vface_tpu/weights/tiny_synth.npz"
+    )
 
     import jax
     import jax.numpy as jnp
@@ -57,22 +67,34 @@ def main():
     from vface_tpu.models import ModelConfig, VFaceModel
     from vface_tpu.models.raft import RAFT, RAFTConfig
     from vface_tpu.pipelines.video_swap import SwapOptions, VideoSwapPipeline
-    from vface_tpu.preprocess.synthetic_faces import render_face, render_pan_sequence
+    from vface_tpu.preprocess.synthetic_faces import (
+        render_face,
+        render_motion_sequence,
+        render_pan_sequence,
+    )
     from vface_tpu.runtime.checkpoint import load_params_npz
 
     size = args.size
-    model = VFaceModel(ModelConfig.tiny(image_size=size))
+    cfg_cls = ModelConfig.mid if mid else ModelConfig.tiny
+    model = VFaceModel(cfg_cls(image_size=size))
     params = load_params_npz(args.weights, jax.jit(model.init)(jax.random.PRNGKey(0)))
-    print(f"[bounds] trained bundle {args.weights}", flush=True)
+    print(f"[bounds] trained bundle {args.weights} ({args.config} {size}², "
+          f"{args.motion})", flush=True)
 
     hl = model.cfg.latent_size
     base = SwapOptions(
         ddim_steps=6, inversion_steps=6, window=4, image_size=size,
         parser_size=64, flow_tokens=hl * hl,
     )
-    frames, _ = render_pan_sequence(
-        np.random.default_rng(3), args.frames, size, step_px=2.0
-    )
+    if args.motion == "nonrigid":
+        frames, _, _ = render_motion_sequence(
+            np.random.default_rng(3), args.frames, size,
+            pose_amp=1.0, expr_amp=1.0,
+        )
+    else:
+        frames, _ = render_pan_sequence(
+            np.random.default_rng(3), args.frames, size, step_px=2.0
+        )
     source, _ = render_face(np.random.default_rng(4), size)
 
     rng = jax.random.PRNGKey(1)
